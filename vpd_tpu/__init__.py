@@ -1,0 +1,21 @@
+"""vpd_tpu: a TPU-native (JAX/XLA/Pallas) framework for Video Pose Distillation.
+
+Re-designed from scratch with the capabilities of jhong93/vpd (ICCV 2021):
+a view-invariant pose-embedding teacher (VIPE*), a per-frame video student
+distilled from it (VPD), batched feature extraction, and downstream few-shot
+action recognition / retrieval / temporal detection on the frozen embeddings.
+
+Layer map:
+  core/      mesh + sharding, checkpointing, config manifests, io, schedules
+  geometry/  skeleton trees, 2D/3D pose normalization (pure numpy + jax)
+  models/    flax modules: FC-ResNet encoder, ResNet student, GRU heads
+  data/      host-side samplers and device-side augmentation pipelines
+  ops/       DTW and Pallas kernels
+  train/     jitted + shard_map'd train steps and loops
+  infer/     batched embedding extraction (.emb.pkl writers)
+  tasks/     recognition, retrieval, temporal detection
+  datasets/  label loaders (tennis/fs/finegym/diving48), emb densification
+  tools/     CLI entry points
+"""
+
+__version__ = "0.1.0"

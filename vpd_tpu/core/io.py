@@ -1,0 +1,110 @@
+"""File I/O helpers and the `.emb.pkl` interchange format.
+
+Role parity with reference `util/io.py:10-83`. The per-video embedding pickle
+format is the framework's interchange contract (reference `README.md:185-194`):
+a list of ``(frame_num, ndarray, metadata_dict)`` tuples, written with plain
+``pickle`` so files are byte-compatible with the reference pipeline.
+"""
+
+import base64
+import gzip
+import json
+import pickle
+from io import BytesIO
+
+import numpy as np
+from PIL import Image
+
+EMB_FILE_SUFFIX = '.emb.pkl'
+
+
+def load_json(fpath):
+    with open(fpath) as fp:
+        return json.load(fp)
+
+
+def load_gz_json(fpath):
+    with gzip.open(fpath, 'rt', encoding='ascii') as fp:
+        return json.load(fp)
+
+
+def store_json(fpath, obj):
+    with open(fpath, 'w') as fp:
+        json.dump(obj, fp)
+
+
+def store_gz_json(fpath, obj):
+    with gzip.open(fpath, 'wt', encoding='ascii') as fp:
+        json.dump(obj, fp)
+
+
+def load_pickle(fpath):
+    with open(fpath, 'rb') as fp:
+        return pickle.load(fp)
+
+
+def store_pickle(fpath, obj):
+    with open(fpath, 'wb') as fp:
+        pickle.dump(obj, fp)
+
+
+def load_text(fpath):
+    lines = []
+    with open(fpath, 'r') as fp:
+        for line in fp:
+            line = line.strip()
+            if line:
+                lines.append(line)
+    return lines
+
+
+def store_text(fpath, s):
+    with open(fpath, 'w') as fp:
+        fp.write(s)
+
+
+def decode_png(data):
+    """Decode a PNG from bytes or a base64 string into an ndarray."""
+    if isinstance(data, str):
+        data = base64.decodebytes(data.encode())
+    else:
+        assert isinstance(data, bytes)
+    return np.array(Image.open(BytesIO(data)))
+
+
+def encode_png(data, optimize=True):
+    """Encode an ndarray as a base64 PNG string."""
+    stream = BytesIO()
+    Image.fromarray(data).save(stream, format='png', optimize=optimize)
+    return base64.encodebytes(stream.getvalue()).decode()
+
+
+def parse_time(time_str):
+    """Parse '[[hh:]mm:]ss.fff' into seconds."""
+    seconds = 0.
+    tokens = time_str.split(':')
+    assert len(tokens) <= 3
+    for i, t in enumerate(tokens):
+        seconds *= 60
+        seconds += int(t) if i != len(tokens) - 1 else float(t)
+    return seconds
+
+
+def load_embs_pickle(fpath):
+    """Load one video's embeddings: [(frame_num, ndarray, meta), ...]."""
+    embs = load_pickle(fpath)
+    assert isinstance(embs, list)
+    return embs
+
+
+def store_embs_pickle(fpath, embs):
+    """Store one video's embeddings in the interchange format.
+
+    Each element must be ``(frame_num: int, emb: np.ndarray, meta: dict)``;
+    ``emb`` is 1-D ``(D,)`` or 2-D ``(num_variants, D)`` (e.g. orig + flip).
+    """
+    for frame_num, emb, meta in embs:
+        assert isinstance(frame_num, (int, np.integer)), frame_num
+        assert isinstance(emb, np.ndarray), type(emb)
+        assert isinstance(meta, dict), type(meta)
+    store_pickle(fpath, embs)
