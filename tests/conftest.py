@@ -1,14 +1,11 @@
 """Test configuration: force an 8-device virtual CPU platform.
 
-Must run before jax initializes its backends so multi-chip sharding tests
-can exercise a Mesh without TPU hardware.
+The container's sitecustomize imports jax and registers the 'axon' TPU
+plugin before any test code runs, so env vars are too late — the platform
+must be overridden through jax.config.
 """
 
-import os
+import jax
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_ENABLE_X64', '0')
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)

@@ -1,0 +1,76 @@
+"""Device mesh + sharding helpers — the framework's communication layer.
+
+The reference is single-device (`SURVEY.md` §2.8: no distributed backend);
+here every train/extract step is written against a 1-D ``data`` mesh and
+jitted with NamedSharding. Under jit, reductions over the batch axis are
+*global* (XLA inserts the ICI collectives), so BatchNorm statistics, loss
+normalization, and gradient means are exact across chips with no explicit
+psum calls. Cross-host scaling is the same mesh built from
+``jax.distributed`` global devices.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def get_mesh(devices=None, axis_name=DATA_AXIS):
+    """A 1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name=DATA_AXIS):
+    """Shard the leading (batch) dim; replicate everything else."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis_name=DATA_AXIS):
+    """Device-put a host batch pytree, sharding dim 0 across the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh):
+    """Device-put a pytree fully replicated across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to(batch, n, pad_mask_key=None):
+    """Pad every leaf's dim 0 to `n` (static shapes => no re-jitting).
+
+    Optionally adds a {pad_mask_key: bool (n,)} marking real rows.
+    """
+    def pad(x):
+        x = np.asarray(x)
+        if x.shape[0] == n:
+            return x
+        pad_width = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pad_width)
+
+    size = len(next(iter(batch.values())))
+    out = {k: pad(v) for k, v in batch.items()}
+    if pad_mask_key is not None:
+        mask = np.zeros(n, dtype=bool)
+        mask[:size] = True
+        out[pad_mask_key] = mask
+    return out
+
+
+def local_batch_size(global_batch_size, mesh=None):
+    n = (mesh.size if mesh is not None
+         else jax.device_count())
+    assert global_batch_size % n == 0, \
+        'global batch {} not divisible by {} devices'.format(
+            global_batch_size, n)
+    return global_batch_size // n

@@ -1,0 +1,177 @@
+"""Recurrent/conv sequence heads for downstream action recognition.
+
+Parity with reference `util/classifier.py:29-134` re-designed for TPU:
+torch packed sequences become padded batches + `seq_lengths`-aware
+`flax.linen.RNN` (lax.scan under jit; static shapes). Deliberate parity
+quirks, kept because trained heads depend on them:
+
+* attention pooling is *unmasked* over padded steps (the reference pads
+  outputs with 0 before softmax, `util/classifier.py:84-97`), so padded
+  positions contribute exp(0) weight with zero vectors;
+* max pooling masks padded steps with -inf (reference padding_value).
+
+`MaskedBatchNorm` replaces `util/torch/batchnorm1d.py`: batch statistics
+are computed over valid timesteps only.
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def length_mask(lengths, max_len):
+    """(B,) lengths -> (B, T) bool validity mask."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over (B, T, D) inputs counting only valid timesteps.
+
+    Parity with `util/torch/batchnorm1d.py:29-93` (masked mean/var, running
+    stats updated with masked statistics).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool = False):
+        d = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(d))
+        ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones(d))
+        scale = self.param('scale', nn.initializers.ones, (d,))
+        bias = self.param('bias', nn.initializers.zeros, (d,))
+
+        if train:
+            mask = length_mask(lengths, x.shape[1])[..., None]
+            n = jnp.maximum(jnp.sum(mask), 1)
+            mean = jnp.sum(x * mask, axis=(0, 1)) / n
+            var = jnp.sum(jnp.square(x - mean) * mask, axis=(0, 1)) / n
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class BiRNN(nn.Module):
+    """Multi-layer bidirectional GRU/LSTM over padded sequences.
+
+    Returns (outputs (B, T, 2H) zeroed at padding, last_state
+    (2 * depth, B, H)) matching torch's (h_n layout: layer-major,
+    direction-minor)."""
+    cell_type: str
+    hidden_dim: int
+    depth: int = 2
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        def make_cell():
+            if self.cell_type == 'gru':
+                return nn.GRUCell(self.hidden_dim)
+            elif self.cell_type == 'lstm':
+                return nn.OptimizedLSTMCell(self.hidden_dim)
+            raise NotImplementedError(self.cell_type)
+
+        last_states = []
+        for _ in range(self.depth):
+            fwd = nn.RNN(make_cell(), return_carry=True)
+            bwd = nn.RNN(make_cell(), return_carry=True, reverse=True,
+                         keep_order=True)
+            carry_f, out_f = fwd(x, seq_lengths=lengths)
+            carry_b, out_b = bwd(x, seq_lengths=lengths)
+            x = jnp.concatenate([out_f, out_b], axis=-1)
+            for c in (carry_f, carry_b):
+                # LSTM carry is (c, h); torch h_n uses the hidden state
+                last_states.append(c[1] if isinstance(c, tuple) else c)
+
+        mask = length_mask(lengths, x.shape[1])[..., None]
+        outputs = x * mask
+        last_state = jnp.stack(last_states)  # (2*depth, B, H)
+        return outputs, last_state
+
+
+class SeqClassifier(nn.Module):
+    """BiRNN + (attention | max) pooling + BN/dropout FC head.
+
+    Parity with `_ABCSeqModel.Seq` (`util/classifier.py:29-101`).
+    """
+    cell_type: str
+    hidden_dim: int
+    num_classes: int
+    depth: int = 2
+    dropout: float = 0.5
+    input_dropout: float = 0.2
+    input_batchnorm: bool = False
+    use_attention: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool = False):
+        x = nn.Dropout(self.input_dropout, deterministic=not train)(x)
+        if self.input_batchnorm:
+            x = MaskedBatchNorm()(x, lengths, train=train)
+
+        outputs, last_state = BiRNN(
+            self.cell_type, self.hidden_dim, self.depth)(x, lengths)
+
+        hidden2 = 2 * self.hidden_dim
+        if self.use_attention:
+            n = last_state.shape[1]
+            flat = jnp.transpose(last_state, (1, 0, 2)).reshape(n, -1)
+            attn_vec = nn.relu(nn.Dense(hidden2)(flat))  # (B, 2H)
+            logits = jnp.einsum('bth,bh->bt', outputs, attn_vec)
+            # parity: softmax over ALL steps incl. padding (outputs are 0
+            # there, so logits are exactly 0 for padded positions)
+            attn = nn.softmax(logits, axis=1)
+            pooled = jnp.einsum('bth,bt->bh', outputs, attn)
+        else:
+            mask = length_mask(lengths, outputs.shape[1])[..., None]
+            neg_inf = jnp.full_like(outputs, -jnp.inf)
+            pooled = jnp.max(jnp.where(mask, outputs, neg_inf), axis=1)
+
+        for _ in range(1):
+            pooled = nn.BatchNorm(use_running_average=not train,
+                                  momentum=0.9, epsilon=1e-5)(pooled)
+            pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
+            pooled = nn.Dense(hidden2)(pooled)
+            pooled = nn.relu(pooled)
+        pooled = nn.BatchNorm(use_running_average=not train,
+                              momentum=0.9, epsilon=1e-5)(pooled)
+        pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
+        return nn.Dense(self.num_classes)(pooled)
+
+
+class CNNClassifier(nn.Module):
+    """Multi-kernel 1D-conv text-CNN head (`util/classifier.py:103-134`)."""
+    hidden_dim: int
+    num_classes: int
+    kernel_sizes: Sequence[int] = (3, 5, 7)
+    depth: int = 1
+    dropout: float = 0.5
+    input_dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool = False):
+        assert self.depth <= 2
+        x = nn.Dropout(self.input_dropout, deterministic=not train)(x)
+
+        feats = []
+        for k in self.kernel_sizes:
+            h = nn.relu(nn.Conv(self.hidden_dim, (k,), padding='VALID')(x))
+            if self.depth > 1:
+                h = nn.relu(nn.Conv(self.hidden_dim, (7,),
+                                    strides=(k // 2,), padding='VALID')(h))
+            # max over time; conservatively mask nothing (reference CNN
+            # also pools over zero-padded steps)
+            feats.append(jnp.max(h, axis=1))
+        x = jnp.concatenate(feats, axis=1)
+
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.relu(nn.Dense(self.hidden_dim)(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.num_classes)(x)

@@ -1,0 +1,199 @@
+"""VIPE* training loop: epochs, loss history, checkpoint selection, resume.
+
+Driver parity with reference `train_vipe_model.py:232-425`: config.json
+manifest (the contract `apply_vipe` rebuilds models from), loss.json epoch
+history with per-dataset breakdown, moving-average-val best checkpoint +
+periodic checkpoints, and `--resume` from the last epoch checkpoint.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core.io import load_json, store_json
+from ..core.mesh import get_mesh, shard_batch
+from ..geometry.coco import pose_input_dim
+from ..models import FCPoseDecoder, FCResNet
+from .vipe import (VIPEModel, create_state, make_eval_step, make_train_step,
+                   run_epoch)
+
+ENCODER_DROPOUT = 0.2
+DECODER_DROPOUT = 0.0
+LIFT_3D_WEIGHT = 1
+
+
+def build_model(config, kp_dims):
+    encoder = FCResNet(
+        out_dim=config['embedding_dim'],
+        num_blocks=config['encoder_arch'][0],
+        hidden_dim=config['encoder_arch'][1],
+        dropout=ENCODER_DROPOUT)
+    decoder = None
+    if any(d > 0 for d in kp_dims):
+        decoder = FCPoseDecoder(
+            hidden_dims=tuple([config['decoder_arch'][1]]
+                              * config['decoder_arch'][0]
+                              + [config['decoder_arch'][1]]),
+            target_dims=tuple(max(d, 1) for d in kp_dims),
+            dropout=DECODER_DROPOUT)
+    return VIPEModel(encoder=encoder, decoder=decoder)
+
+
+class VIPETrainer:
+
+    def __init__(self, train_batcher, val_batcher, config, save_dir=None,
+                 mesh=None, seed=0):
+        self.train_batcher = train_batcher
+        self.val_batcher = val_batcher
+        self.config = dict(config)
+        self.save_dir = save_dir
+        self.mesh = mesh if mesh is not None else get_mesh()
+
+        self.model = build_model(self.config, train_batcher.kp_dims)
+        kp_mask = train_batcher.kp_mask()
+        self.state = create_state(
+            self.model, train_batcher.next_batch(),
+            learning_rate=self.config['learning_rate'], seed=seed)
+        self.train_step = make_train_step(
+            self.model, kp_mask, weight_3d=LIFT_3D_WEIGHT)
+        self.eval_step = make_eval_step(
+            self.model, kp_mask, weight_3d=LIFT_3D_WEIGHT)
+        self.rng = jax.random.key(seed + 1)
+
+        self.losses = []
+        self.selector = ckpt.MovingAvgSelector(
+            self.config.get('model_select_window', 1))
+
+    # -- persistence ------------------------------------------------------
+
+    def save_config(self):
+        os.makedirs(self.save_dir, exist_ok=True)
+        store_json(os.path.join(self.save_dir, 'config.json'), self.config)
+
+    def _components(self):
+        comps = {
+            'encoder': {
+                'params': self.state.params['encoder'],
+                'batch_stats': self.state.batch_stats.get('encoder', {}),
+            },
+            'optimizer': self.state.opt_state,
+        }
+        if 'decoder' in self.state.params:
+            comps['decoder-3d'] = {
+                'params': self.state.params['decoder'],
+                'batch_stats': self.state.batch_stats.get('decoder', {}),
+            }
+        return comps
+
+    def save_model(self, name):
+        ckpt.save_bundle(self.save_dir, name, self._components())
+
+    def load_model(self, name):
+        loaded = ckpt.load_bundle(
+            self.save_dir, name,
+            {k: v for k, v in self._components().items()})
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params['encoder'] = loaded['encoder']['params']
+        if loaded['encoder']['batch_stats']:
+            stats['encoder'] = loaded['encoder']['batch_stats']
+        if 'decoder-3d' in loaded:
+            params['decoder'] = loaded['decoder-3d']['params']
+            if loaded['decoder-3d']['batch_stats']:
+                stats['decoder'] = loaded['decoder-3d']['batch_stats']
+        self.state = self.state.replace(
+            params=params, batch_stats=stats,
+            opt_state=loaded['optimizer'])
+
+    # -- training ---------------------------------------------------------
+
+    def _run(self, batcher, train):
+        def step(state, batch, rng=None):
+            batch = shard_batch(batch, self.mesh)
+            if train:
+                return self.train_step(state, batch, rng)
+            return self.eval_step(state, batch)
+
+        if train:
+            return run_epoch(batcher, self.state, step,
+                             batcher.num_batches, rng=self.rng, train=True)
+        _, metrics = run_epoch(batcher, self.state, step,
+                               batcher.num_batches, train=False)
+        return self.state, metrics
+
+    def train_one_epoch(self, epoch):
+        self.state, train_m = self._run(self.train_batcher, train=True)
+        _, val_m = self._run(self.val_batcher, train=False)
+
+        names = self.config.get('dataset_names')
+        per_ds = lambda m: [
+            (names[i] if names else str(i), v)
+            for i, v in sorted(m['per_dataset'].items())]
+        select_key = ('contra' if self.config.get('model_select_contrast')
+                      else 'loss')
+        self.losses.append({
+            'epoch': epoch,
+            'train': train_m[select_key], 'val': val_m[select_key],
+            'dataset_train': [('contrast', train_m['contra'])]
+                             + per_ds(train_m),
+            'dataset_val': [('contrast', val_m['contra'])] + per_ds(val_m),
+        })
+        if self.save_dir:
+            store_json(os.path.join(self.save_dir, 'loss.json'), self.losses)
+
+        is_best = self.selector.update(val_m[select_key])
+        if self.save_dir:
+            if is_best:
+                self.save_model('best_epoch')
+            freq = self.config.get('checkpoint_frequency', 25)
+            if epoch % freq == 0:
+                self.save_model('epoch{:04d}'.format(epoch))
+        return train_m, val_m
+
+    def fit(self, start_epoch=1, log=print):
+        for epoch in range(start_epoch, self.config['num_epochs'] + 1):
+            train_m, val_m = self.train_one_epoch(epoch)
+            log('Epoch {} - train loss: {:0.5f}, contra: {:0.3f} | '
+                'val loss: {:0.5f}, contra: {:0.3f}'.format(
+                    epoch, train_m['loss'], train_m['contra'],
+                    val_m['loss'], val_m['contra']))
+
+    def resume(self):
+        """Restore state + loss history from the last epoch checkpoint."""
+        last = ckpt.last_checkpoint_epoch(self.save_dir)
+        assert last >= 0, 'nothing to resume in {}'.format(self.save_dir)
+        self.load_model('epoch{:04d}'.format(last))
+        loss_file = os.path.join(self.save_dir, 'loss.json')
+        if os.path.exists(loss_file):
+            self.losses = [x for x in load_json(loss_file)
+                           if x['epoch'] <= last]
+            for rec in self.losses:
+                self.selector.update(rec['val'])
+        return last + 1
+
+
+def default_config(dataset_names, kp_shapes, mean_norms, num_epochs=500,
+                   learning_rate=1e-4, batch_size=100, embedding_dim=32,
+                   encoder_arch=(2, 1024), decoder_arch=(2, 512),
+                   embed_bones=False, augment_camera=True,
+                   model_select_window=1, checkpoint_frequency=25):
+    """The config.json manifest (schema parity: train_vipe_model.py:330-344)."""
+    return {
+        'datasets': [
+            {'name': n, '3d_pose_shape': list(s) if s else None,
+             'mean_kp_offset_norms': m.tolist() if m is not None else None}
+            for n, s, m in zip(dataset_names, kp_shapes, mean_norms)],
+        'dataset_names': list(dataset_names),
+        'num_epochs': num_epochs,
+        'learning_rate': learning_rate,
+        'batch_size': batch_size,
+        'embedding_dim': embedding_dim,
+        'encoder_arch': list(encoder_arch),
+        'decoder_arch': list(decoder_arch),
+        'embed_bones': embed_bones,
+        'augment_camera': augment_camera,
+        'model_select_window': model_select_window,
+        'checkpoint_frequency': checkpoint_frequency,
+    }
