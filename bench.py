@@ -1,0 +1,71 @@
+"""Benchmark: VPD student feature-extraction throughput (crops/sec/chip).
+
+The reference pipeline's hot path (`apply_vpd_model.py`, batch 500 on one
+GPU). Here: uint8 crop batch (pre-staged in HBM) -> on-device normalize ->
+bf16 ResNet-34 -> 32-d embeddings fetched back to host, one jitted
+program, measured steady-state on one chip.
+
+NOTE on methodology: on this backend `block_until_ready` does not force
+execution (lazy relay), so every timed iteration fetches the embeddings to
+host, which is also what real extraction does before writing .emb.pkl.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 5000 crops/sec/chip (BASELINE.md north star).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vpd_tpu.data.augment import RGB_MEAN_STD, eval_transform_batch
+    from vpd_tpu.models import build_encoder
+
+    model = build_encoder('resnet34', emb_dim=32, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 128, 128, 3), jnp.bfloat16))
+    mean, std = RGB_MEAN_STD['tennis']
+
+    @jax.jit
+    def embed(params, batch_stats, rgb_u8):
+        imgs = eval_transform_batch(rgb_u8, mean, std).astype(jnp.bfloat16)
+        return model.apply(
+            {'params': params, 'batch_stats': batch_stats}, imgs,
+            train=False)
+
+    params = variables['params']
+    batch_stats = variables['batch_stats']
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    for batch in (4096,):
+        rgb_dev = jax.device_put(rng.integers(
+            0, 255, (batch, 128, 128, 3), dtype=np.uint8))
+
+        # compile + warm (readback forces execution)
+        np.asarray(embed(params, batch_stats, rgb_dev))
+
+        times = []
+        for _ in range(5):
+            start = time.perf_counter()
+            out = np.asarray(embed(params, batch_stats, rgb_dev))
+            times.append(time.perf_counter() - start)
+        assert np.all(np.isfinite(out))
+        crops_per_sec = batch / min(times)
+        best = max(best, crops_per_sec)
+
+    print(json.dumps({
+        'metric': 'student_extract_crops_per_sec_per_chip',
+        'value': round(best, 1),
+        'unit': 'crops/sec/chip',
+        'vs_baseline': round(best / 5000.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,215 @@
+"""VPD student: data scan, fused augmentation, distillation, extraction."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from synth import make_synth_emb_videos
+from vpd_tpu.core.io import store_pickle
+from vpd_tpu.data.augment import (
+    color_jitter, eval_transform_batch, flip_batch, random_resized_crop,
+    train_augment_batch)
+from vpd_tpu.data.crops import CropBatchSource, scan_emb_dir, train_val_split
+from vpd_tpu.infer.apply_vpd import apply_vpd, scan_crop_dir
+from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+IMG = 32  # small crops for fast CPU tests
+
+
+def write_crop_tree(root, videos, num_frames, img_dim=IMG, flow=False,
+                    mask=False, seed=0):
+    rng = np.random.default_rng(seed)
+    for v in videos:
+        vdir = os.path.join(root, v)
+        os.makedirs(vdir, exist_ok=True)
+        for f in range(num_frames):
+            arr = rng.integers(0, 255, size=(img_dim, img_dim, 3),
+                               dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(vdir, f'{f}.png'))
+            if flow:
+                Image.fromarray(arr).save(
+                    os.path.join(vdir, f'{f}.flow.png'))
+            if mask:
+                m = (rng.random((img_dim, img_dim)) > 0.5).astype(
+                    np.uint8) * 255
+                Image.fromarray(m).save(os.path.join(vdir, f'{f}.mask.png'))
+
+
+def setup_dataset(tmp_path, flow=False, mask=False, embed_time=False):
+    emb_dir = tmp_path / 'embs'
+    os.makedirs(emb_dir)
+    videos = make_synth_emb_videos(num_videos=2, num_frames=10, emb_dim=6)
+    for name, embs in videos.items():
+        store_pickle(str(emb_dir / f'{name}.emb.pkl'), embs)
+    crop_dir = tmp_path / 'crops'
+    write_crop_tree(str(crop_dir), list(videos), 10, flow=flow, mask=mask)
+    samples, emb_dim = scan_emb_dir(str(emb_dir), embed_time=embed_time,
+                                    min_pose_score=0.5)
+    return samples, emb_dim, str(crop_dir)
+
+
+def test_scan_emb_dir_and_split(tmp_path):
+    samples, emb_dim, _ = setup_dataset(tmp_path)
+    assert emb_dim == 6
+    assert len(samples) == 20
+    train, val = train_val_split(samples, 0.2)
+    assert len(val) == 4 and len(train) == 16
+
+
+def test_scan_embed_time_concat(tmp_path):
+    samples, emb_dim, _ = setup_dataset(tmp_path, embed_time=True)
+    assert emb_dim == 6  # raw teacher dim, pre-concat
+    # first frame of each video dropped (no previous frame)
+    assert len(samples) == 18
+    # targets are concatenated per flip row: (2, 12)
+    assert samples[0][3].shape == (2, 12)
+
+
+def test_scan_score_filter(tmp_path):
+    emb_dir = tmp_path / 'embs'
+    os.makedirs(emb_dir)
+    videos = make_synth_emb_videos(num_videos=1, num_frames=5, emb_dim=4,
+                                   score=0.2)
+    for name, embs in videos.items():
+        store_pickle(str(emb_dir / f'{name}.emb.pkl'), embs)
+    samples, _ = scan_emb_dir(str(emb_dir))
+    assert len(samples) == 0  # all below DEFAULT_MIN_POSE_SCORE
+
+
+def test_exclude_prefixes(tmp_path):
+    samples, _, _ = setup_dataset(tmp_path)
+    emb_dir = str(tmp_path / 'embs')
+    filtered, _ = scan_emb_dir(emb_dir, exclude_prefixes=('video0',),
+                               log=lambda *a: None)
+    assert {s[0] for s in filtered} == {'video1'}
+
+
+def test_augment_batch_shapes_and_determinism():
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (4, IMG, IMG, 3), dtype=np.uint8)
+    flow = rng.integers(0, 255, (4, IMG, IMG, 3), dtype=np.uint8)
+    mask = rng.integers(0, 2, (4, IMG, IMG), dtype=np.uint8) * 255
+    mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+
+    key = jax.random.key(0)
+    flips = jnp.array([False, True, False, True])
+    out, fl = train_augment_batch(key, rgb, mean, std, flow_u8=flow,
+                                  mask_u8=mask, flip=flips, out_size=IMG)
+    assert out.shape == (4, IMG, IMG, 5)
+    assert np.all(np.isfinite(np.asarray(out)))
+    out2, _ = train_augment_batch(key, rgb, mean, std, flow_u8=flow,
+                                  mask_u8=mask, flip=flips, out_size=IMG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_eval_transform_and_flip_semantics():
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (2, IMG, IMG, 3), dtype=np.uint8)
+    flow = rng.integers(0, 255, (2, IMG, IMG, 3), dtype=np.uint8)
+    mean, std = (0., 0., 0.), (1., 1., 1.)
+    x = eval_transform_batch(rgb, mean, std, flow_u8=flow)
+    assert x.shape == (2, IMG, IMG, 5)
+    np.testing.assert_allclose(
+        np.asarray(x[..., :3]), rgb / 255., atol=1e-6)
+    # flow mapped to [-0.5, 0.5]
+    assert float(jnp.min(x[..., 3:])) >= -0.5
+    assert float(jnp.max(x[..., 3:])) <= 0.5
+
+    fx = flip_batch(x, has_flow=True)
+    # RGB flipped, x-flow negated, y-flow flipped only
+    np.testing.assert_allclose(np.asarray(fx[..., 0]),
+                               np.asarray(x[..., 0])[:, :, ::-1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fx[..., 3]),
+                               -np.asarray(x[..., 3])[:, :, ::-1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fx[..., 4]),
+                               np.asarray(x[..., 4])[:, :, ::-1], atol=1e-6)
+
+
+def test_color_jitter_bounded():
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((IMG, IMG, 3)), jnp.float32)
+    out = color_jitter(img, jax.random.key(0))
+    assert out.shape == img.shape
+    assert float(jnp.min(out)) >= -1e-5
+    assert float(jnp.max(out)) <= 1 + 1e-5
+
+
+def test_random_resized_crop_identity_bounds():
+    img = jnp.arange(IMG * IMG * 3, dtype=jnp.float32).reshape(
+        IMG, IMG, 3) / (IMG * IMG * 3)
+    out = random_resized_crop(img, jax.random.key(0), IMG)
+    assert out.shape == (IMG, IMG, 3)
+    assert float(jnp.min(out)) >= 0 and float(jnp.max(out)) <= 1
+
+
+@pytest.mark.parametrize('flow', [False, True])
+def test_vpd_training_reduces_loss(tmp_path, flow):
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path, flow=flow,
+                                               mask=True)
+    train, val = train_val_split(samples)
+    src = CropBatchSource(train, crop_dir, IMG, batch_size=8,
+                          target_len=64,
+                          flow_img_name='flow' if flow else None)
+    val_src = CropBatchSource(val, crop_dir, IMG, batch_size=8,
+                              target_len=16, augment=False,
+                              flow_img_name='flow' if flow else None)
+    config = default_config('tennis', emb_dim, num_epochs=3,
+                            batch_size=8, img_dim=IMG, use_flow=flow,
+                            encoder_arch='resnet18',
+                            learning_rate=1e-3, checkpoint_frequency=3)
+    trainer = VPDTrainer(src, val_src, config,
+                         save_dir=str(tmp_path / 'model'),
+                         dtype=jnp.float32)
+    trainer.save_config()
+    losses = []
+    trainer.fit(log=lambda msg: losses.append(msg))
+    assert len(trainer.losses) == 3
+    assert np.isfinite(trainer.losses[-1]['train'])
+    assert trainer.losses[-1]['train'] < trainer.losses[0]['train'] * 2
+
+    files = os.listdir(tmp_path / 'model')
+    assert 'best_epoch.encoder.ckpt' in files
+    assert 'config.json' in files
+
+    # extraction end-to-end
+    videos, tasks = scan_crop_dir(crop_dir)
+    out_dir = str(tmp_path / 'out')
+    apply_vpd(videos, tasks, str(tmp_path / 'model'), out_dir,
+              flow_img_name='flow' if flow else None, batch_size=16,
+              log=lambda *a: None)
+    with open(os.path.join(out_dir, 'video0.emb.pkl'), 'rb') as fp:
+        embs = pickle.load(fp)
+    assert len(embs) == 10
+    frame, row, meta = embs[0]
+    assert row.shape == (2, emb_dim)  # (orig, flip)
+    assert np.isfinite(row).all()
+
+
+def test_motion_head_output_dims(tmp_path):
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path, embed_time=True)
+    train, val = train_val_split(samples)
+    src = CropBatchSource(train, crop_dir, IMG, batch_size=8, target_len=8)
+    config = default_config('tennis', emb_dim, num_epochs=1, batch_size=8,
+                            img_dim=IMG, motion=True,
+                            encoder_arch='resnet18')
+    trainer = VPDTrainer(src, None, config, save_dir=str(tmp_path / 'm'),
+                         dtype=jnp.float32)
+    trainer.save_config()
+    trainer.fit(log=lambda *a: None)
+    # student-with-motion trains against 2*emb_dim targets
+    assert trainer.losses[-1]['train'] > 0
+
+    # extraction ignores the motion head: rows are emb_dim wide
+    videos, tasks = scan_crop_dir(crop_dir)
+    # no val source -> no best_epoch (reference parity); use the last epoch
+    apply_vpd(videos, tasks, str(tmp_path / 'm'), str(tmp_path / 'o'),
+              model_epoch=1, batch_size=8, no_flip=True,
+              log=lambda *a: None)
+    with open(tmp_path / 'o' / 'video0.emb.pkl', 'rb') as fp:
+        embs = pickle.load(fp)
+    assert embs[0][1].shape == (emb_dim,)

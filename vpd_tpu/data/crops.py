@@ -1,0 +1,234 @@
+"""Host-side crop dataset for VPD student training and extraction.
+
+Parity with reference `vpd_dataset/single_frame.py`: scans a teacher
+`.emb.pkl` dir, filters by pose score, optionally row-normalizes targets
+and builds `[e_t, e_t - e_{t-1}]` motion targets (requires consecutive
+frames), 80/20 train/val split, and random sampling with a virtual epoch
+length.
+
+TPU-first split: the host path ONLY decodes PNGs into uint8 arrays
+(cv2/PIL) and batches them; all float math, normalization and augmentation
+run on device (`data/augment.py`). A double-buffering prefetch thread
+hides decode latency behind the device step.
+"""
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from ..core.io import EMB_FILE_SUFFIX, load_pickle
+
+try:
+    import cv2
+    cv2.setNumThreads(0)
+    _HAS_CV2 = True
+except ImportError:  # PIL fallback
+    from PIL import Image
+    _HAS_CV2 = False
+
+DEFAULT_MIN_POSE_SCORE = 0.5
+
+
+def _imread_rgb(path, img_dim):
+    if _HAS_CV2:
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        if img.shape[0] != img_dim or img.shape[1] != img_dim:
+            img = cv2.resize(img, (img_dim, img_dim))
+        return img
+    img = Image.open(path).convert('RGB')
+    if img.size != (img_dim, img_dim):
+        img = img.resize((img_dim, img_dim))
+    return np.asarray(img)
+
+
+def _imread_raw(path, img_dim):
+    if _HAS_CV2:
+        img = cv2.imread(path)
+        if img.shape[0] != img_dim or img.shape[1] != img_dim:
+            img = cv2.resize(img, (img_dim, img_dim))
+        return img
+    img = Image.open(path)
+    if img.size != (img_dim, img_dim):
+        img = img.resize((img_dim, img_dim))
+    img = np.asarray(img)
+    return img if img.ndim == 3 else img[..., None]
+
+
+def get_pose_score(meta, default=None):
+    for key in ('dp_score', 'kp_score'):
+        if meta.get(key) is not None:
+            return meta[key]
+    if default is not None:
+        return default
+    raise NotImplementedError('no pose score in meta')
+
+
+def _normalize_rows(x):
+    if len(x.shape) == 1:
+        return x / np.linalg.norm(x)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def scan_emb_dir(emb_dir, *, embed_time=False, min_pose_score=None,
+                 normalize_target=False, exclude_prefixes=None,
+                 tennis_layout=False, log=print):
+    """Build the flat (video, [player,] frame, emb_target) sample list.
+
+    Returns (samples, emb_dim) where each sample is
+    (video_name, player_or_None, frame_num, emb_target (D,) or (2, D)).
+    """
+    score_thresh = (DEFAULT_MIN_POSE_SCORE if min_pose_score is None
+                    else min_pose_score)
+    samples = []
+    emb_dim = None
+    for emb_file in sorted(os.listdir(emb_dir)):
+        if not emb_file.endswith(EMB_FILE_SUFFIX):
+            continue
+        video_name = emb_file[:-len(EMB_FILE_SUFFIX)]
+        if exclude_prefixes is not None and \
+                video_name.startswith(tuple(exclude_prefixes)):
+            log('Excluded: {}'.format(video_name))
+            continue
+
+        video_embs = load_pickle(os.path.join(emb_dir, emb_file))
+        if emb_dim is None and video_embs:
+            emb_dim = video_embs[0][1].shape[-1]
+
+        player = None
+        frame_base = 0
+        crop_video = video_name
+        if tennis_layout:
+            # '<player>__<video>_<start>_<end>' (single_frame.py:117-119)
+            player, rest = video_name.split('__', 1)
+            crop_video, start_frame, _ = rest.rsplit('_', 2)
+            frame_base = int(start_frame)
+
+        for i, (frame_num, emb_target, emb_meta) in enumerate(video_embs):
+            assert emb_target.shape[-1] == emb_dim
+            if get_pose_score(emb_meta) < score_thresh:
+                continue
+            if normalize_target:
+                emb_target = _normalize_rows(emb_target)
+            if embed_time:
+                if i == 0 or video_embs[i - 1][0] != frame_num - 1:
+                    continue
+                emb_prev = video_embs[i - 1][1]
+                if normalize_target:
+                    emb_prev = _normalize_rows(emb_prev)
+                emb_target = np.concatenate(
+                    [emb_target, emb_target - emb_prev],
+                    axis=0 if len(emb_target.shape) == 1 else 1)
+            samples.append((crop_video, player, frame_base + frame_num,
+                            emb_target))
+    return samples, emb_dim
+
+
+def train_val_split(samples, test_size=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(samples))
+    n_val = int(round(len(samples) * test_size))
+    val_idx = set(order[:n_val].tolist())
+    train = [s for i, s in enumerate(samples) if i not in val_idx]
+    val = [s for i, s in enumerate(samples) if i in val_idx]
+    return train, val
+
+
+class CropBatchSource:
+    """Random-sampling uint8 batch producer over crop PNG directories.
+
+    Produces dicts of host numpy arrays:
+      {'rgb': (B,S,S,3) u8, 'emb': (B,D), 'flip_select': (B,) u8,
+       'flow': (B,S,S,3) u8?, 'mask': (B,S,S) u8?}
+    The target row (orig vs flipped teacher emb) is chosen host-side when
+    the target has flip rows; the actual pixel flip happens on device with
+    the same boolean.
+    """
+
+    def __init__(self, samples, img_dir, img_dim, batch_size, *,
+                 target_len=20000, flow_img_name=None, use_mask=True,
+                 augment=True, seed=0):
+        assert samples, 'empty crop dataset'
+        self.samples = samples
+        self.img_dir = img_dir
+        self.img_dim = img_dim
+        self.batch_size = batch_size
+        self.target_len = target_len
+        self.flow_img_name = flow_img_name
+        self.use_mask = use_mask
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+
+    @property
+    def num_batches(self):
+        return max(1, self.target_len // self.batch_size)
+
+    def _paths(self, video, player, frame):
+        base = (os.path.join(self.img_dir, video, player)
+                if player else os.path.join(self.img_dir, video))
+        out = {'rgb': os.path.join(base, '{}.png'.format(frame))}
+        if self.flow_img_name:
+            out['flow'] = os.path.join(base, '{}.{}.png'.format(
+                frame, self.flow_img_name))
+        if self.use_mask:
+            out['mask'] = os.path.join(base, '{}.mask.png'.format(frame))
+        return out
+
+    def next_batch(self):
+        b = self.batch_size
+        s = self.img_dim
+        rgb = np.zeros((b, s, s, 3), np.uint8)
+        flow = (np.zeros((b, s, s, 3), np.uint8)
+                if self.flow_img_name else None)
+        mask = np.zeros((b, s, s), np.uint8) if self.use_mask else None
+        embs = []
+        flips = np.zeros(b, np.uint8)
+        for i in range(b):
+            video, player, frame, emb = self.samples[
+                self.rng.integers(len(self.samples))]
+            flip = bool(self.augment and self.rng.integers(2))
+            if emb.ndim == 2:  # (orig, flip) teacher rows
+                emb = emb[int(flip)]
+            elif flip:
+                flip = False  # no flipped target available
+            flips[i] = flip
+            paths = self._paths(video, player, frame)
+            rgb[i] = _imread_rgb(paths['rgb'], s)
+            if flow is not None:
+                flow[i] = _imread_raw(paths['flow'], s)[..., :3]
+            if mask is not None and os.path.exists(paths.get('mask', '')):
+                mask[i] = _imread_raw(paths['mask'], s)[..., 0]
+            embs.append(emb)
+        out = {'rgb': rgb, 'emb': np.stack(embs).astype(np.float32),
+               'flip': flips.astype(bool)}
+        if flow is not None:
+            out['flow'] = flow
+        if mask is not None:
+            out['mask'] = mask
+        return out
+
+
+class Prefetcher:
+    """Double-buffered background batch producer (hides PNG decode)."""
+
+    def __init__(self, source, depth=2):
+        self.source = source
+        self.q = queue.Queue(maxsize=depth)
+        self._stop = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while not self._stop:
+            self.q.put(self.source.next_batch())
+
+    def next(self):
+        return self.q.get()
+
+    def close(self):
+        self._stop = True
+        try:
+            self.q.get_nowait()
+        except queue.Empty:
+            pass

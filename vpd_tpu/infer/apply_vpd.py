@@ -1,0 +1,175 @@
+"""VPD student feature extraction: crop PNGs -> per-video .emb.pkl.
+
+Parity with reference `apply_vpd_model.py` + `FrameDataset`
+(`vpd_dataset/single_frame.py:361-403`): for every crop, embed k variants
+[orig, jitter x j, flip(, flip-jitter x j)] and write (frame, (k, D), {})
+rows per video, sorted by frame. Only the encoder is used (the motion head
+is train-only in the reference too).
+
+TPU-first: the host decodes PNGs into fixed-size uint8 batches; normalize,
+flow concat, flip (+x-flow negation) and jitter variants are generated ON
+DEVICE inside the same jit as the ResNet forward, in bfloat16. Batches are
+padded to a fixed size so one compiled program serves the whole corpus —
+this path is the crops/sec/chip north-star benchmark.
+"""
+
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core.io import load_json, store_pickle
+from ..data import crops as crops_mod
+from ..data.augment import color_jitter, eval_transform_batch, flip_batch
+from ..train.vpd_loop import build_student
+
+EXTRACT_BATCH = 512
+
+
+def load_student_dir(model_dir, model_epoch=None, dtype=None):
+    config = load_json(os.path.join(model_dir, 'config.json'))
+    model = build_student(config, dtype=dtype)
+    img_dim = config['img_dim']
+    channels = 5 if config['use_flow'] else 3
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, img_dim, img_dim, channels)), train=False)
+    name = ('best_epoch' if model_epoch is None
+            else 'epoch{:04d}'.format(model_epoch))
+    enc = ckpt.load_component(
+        model_dir, name, 'encoder',
+        {'params': variables['params']['encoder'],
+         'batch_stats': variables.get('batch_stats', {}).get('encoder', {})})
+    params = dict(variables['params'])
+    params['encoder'] = enc['params']
+    stats = dict(variables.get('batch_stats', {}))
+    stats['encoder'] = enc['batch_stats']
+    return model, {'params': params, 'batch_stats': stats}, config
+
+
+def make_variant_embed(model, variables, config, jitter=0, flip=True,
+                       seed=0):
+    """Jitted: (B, S, S, 3[+flow]) uint8 -> (B, k, D) variant embeddings.
+
+    Variant order: [orig, jitter x j, flip, flip-jitter x j] (flipped
+    variants use flipped flow with negated x, fixing the reference's
+    unflipped-flow quirk for flip-jitters, single_frame.py:386).
+    """
+    mean, std = config['rgb_mean_std']
+    use_flow = config['use_flow']
+    encoder_only = model.encoder  # motion head is train-only
+
+    @jax.jit
+    def fn(rgb_u8, flow_u8, rng):
+        x = eval_transform_batch(rgb_u8, mean, std,
+                                 flow_u8=flow_u8 if use_flow else None)
+        variants = [x]
+        for j in range(jitter):
+            keys = jax.random.split(jax.random.fold_in(rng, j),
+                                    x.shape[0])
+            jit_rgb = jax.vmap(color_jitter)(
+                rgb_u8.astype(jnp.float32) / 255., keys)
+            xj = (jit_rgb - jnp.asarray(mean)) / jnp.asarray(std)
+            if use_flow:
+                xj = jnp.concatenate([xj, x[..., 3:]], axis=-1)
+            variants.append(xj)
+        if flip:
+            flipped = [flip_batch(v, use_flow) for v in variants]
+            variants = variants + flipped
+
+        k = len(variants)
+        stacked = jnp.concatenate(variants, axis=0)
+        embs = encoder_only.apply(
+            {'params': variables['params']['encoder'],
+             'batch_stats': variables['batch_stats']['encoder']},
+            stacked, train=False)
+        return jnp.stack(jnp.split(embs, k, axis=0), axis=1)  # (B, k, D)
+
+    return fn
+
+
+def scan_crop_dir(crop_dir):
+    """Generic layout: crop_dir/<video>/<frame>.png
+    (`apply_vpd_model.py:69-89`)."""
+    img_re = re.compile(r'^\d+\.png$')
+    videos = []
+    tasks = []
+    for video_name in sorted(os.listdir(crop_dir)):
+        video_crop_dir = os.path.join(crop_dir, video_name)
+        if not os.path.isdir(video_crop_dir):
+            continue
+        video_id = len(videos)
+        videos.append(video_name)
+        for img_file in sorted(os.listdir(video_crop_dir)):
+            if img_re.match(img_file):
+                frame_num = int(os.path.splitext(img_file)[0])
+                tasks.append((video_id, frame_num,
+                              os.path.join(video_crop_dir,
+                                           str(frame_num))))
+    return videos, tasks
+
+
+def scan_tennis_crop_dir(video_dir, crop_dir):
+    """Tennis layout: per-player crops named by source-video frame; output
+    videos are '<player>__<clip>' (`apply_vpd_model.py:36-66`)."""
+    videos = []
+    tasks = []
+    for video_file in sorted(os.listdir(video_dir)):
+        if not video_file.endswith('.mp4'):
+            continue
+        video_name = os.path.splitext(video_file)[0]
+        src_video_name, start_frame, end_frame = video_name.rsplit('_', 2)
+        start_frame, end_frame = int(start_frame), int(end_frame)
+        for player in ('front', 'back'):
+            video_id = len(videos)
+            videos.append('{}__{}'.format(player, video_name))
+            for frame_num in range(start_frame, end_frame + 1):
+                prefix = os.path.join(crop_dir, src_video_name, player,
+                                      str(frame_num))
+                if os.path.isfile(prefix + '.png'):
+                    tasks.append((video_id, frame_num - start_frame, prefix))
+    return videos, tasks
+
+
+def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
+              flow_img_name=None, jitter=0, no_flip=False,
+              batch_size=EXTRACT_BATCH, log=print):
+    model, variables, config = load_student_dir(model_dir, model_epoch)
+    if config['use_flow']:
+        assert flow_img_name, 'model uses flow; pass flow_img_name'
+    img_dim = config['img_dim']
+    embed = make_variant_embed(model, variables, config, jitter=jitter,
+                               flip=not no_flip)
+    rng = jax.random.key(0)
+
+    all_embs = [[] for _ in videos]
+    for i in range(0, len(tasks), batch_size):
+        chunk = tasks[i:i + batch_size]
+        n = len(chunk)
+        rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        flow = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        for j, (_, _, prefix) in enumerate(chunk):
+            rgb[j] = crops_mod._imread_rgb(prefix + '.png', img_dim)
+            if config['use_flow']:
+                flow[j] = crops_mod._imread_raw(
+                    '{}.{}.png'.format(prefix, flow_img_name),
+                    img_dim)[..., :3]
+        embs = np.asarray(embed(rgb, flow, rng))[:n]
+        for j, (video_id, frame_num, _) in enumerate(chunk):
+            row = embs[j] if embs.shape[1] > 1 else embs[j, 0]
+            all_embs[video_id].append((frame_num, row, {}))
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = 0
+    for video_name, embs in zip(videos, all_embs):
+        if embs:
+            embs.sort(key=lambda x: x[0])
+            store_pickle(
+                os.path.join(out_dir, '{}.emb.pkl'.format(video_name)), embs)
+            written += 1
+        else:
+            log('{} has no crops'.format(video_name))
+    log('Wrote {} videos'.format(written))

@@ -1,0 +1,129 @@
+"""VPD student training: fused augmentation + distillation MSE step.
+
+Parity with reference `train_vpd_model.py:53-112`: ResNet student embeds a
+(possibly RGB+flow) crop; loss is sum-reduction MSE against the teacher
+embedding (optionally passed through the `fcn_time` motion head mapping
+emb -> 2*emb, `--motion`); AdamW; moving-average-val best checkpoints.
+
+TPU-first: the uint8 batch is transferred once; color jitter, mask noise,
+flip (+x-flow negation), random resized crop, normalization, the bf16
+ResNet forward/backward and the AdamW update are ONE jitted program, so
+augmentation rides the same HBM residency as the model step. Under a data
+mesh the batch is sharded on dim 0; jit makes BatchNorm statistics global.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax import struct
+
+from ..data.augment import eval_transform_batch, train_augment_batch
+from ..models.fc import FCNet
+
+
+class MotionHead(nn.Module):
+    """FCNet(emb -> [128,128] -> 2*emb) (`train_vpd_model.py:62-65`)."""
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return FCNet((128, 128), 2 * self.emb_dim, dropout=0.)(x,
+                                                               train=train)
+
+
+class VPDTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+class VPDStudent(nn.Module):
+    encoder: nn.Module
+    motion: Optional[MotionHead] = None
+
+    def __call__(self, x, train: bool = False):
+        emb = self.encoder(x, train=train)
+        if self.motion is not None:
+            emb = self.motion(emb, train=train)
+        return emb
+
+
+def create_state(model, sample_img, learning_rate, seed=0,
+                 weight_decay=0.01):
+    variables = model.init(jax.random.key(seed), sample_img, train=False)
+    tx = optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=weight_decay)
+    return VPDTrainState(
+        step=jnp.zeros((), jnp.int32), params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=tx.init(variables['params']), tx=tx)
+
+
+def make_train_step(model, mean, std, img_dim=128, use_flow=False,
+                    use_mask=True, donate=True):
+    """One fused program: augment uint8 batch -> student fwd/bwd -> AdamW."""
+
+    def step(state, batch, rng):
+        aug_rng = jax.random.fold_in(rng, state.step)
+        imgs, _ = train_augment_batch(
+            aug_rng, batch['rgb'], mean, std,
+            flow_u8=batch.get('flow') if use_flow else None,
+            mask_u8=batch.get('mask') if use_mask else None,
+            flip=batch['flip'], out_size=img_dim)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                imgs, train=True, mutable=['batch_stats'])
+            # sum-reduction MSE (reference train_vpd_model.py:87)
+            loss_sum = jnp.sum(jnp.square(out - batch['emb']))
+            return loss_sum / out.shape[0], (loss_sum, mutated)
+
+        (_, (loss_sum, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(
+            grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=mutated['batch_stats'], opt_state=new_opt)
+        return new_state, {'emb_loss_sum': loss_sum,
+                           'n': jnp.float32(out_shape_n(batch))}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def out_shape_n(batch):
+    return batch['emb'].shape[0]
+
+
+def make_eval_step(model, mean, std, use_flow=False):
+    @jax.jit
+    def step(state, batch):
+        imgs = eval_transform_batch(
+            batch['rgb'], mean, std,
+            flow_u8=batch.get('flow') if use_flow else None)
+        out = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            imgs, train=False)
+        loss_sum = jnp.sum(jnp.square(out - batch['emb']))
+        return {'emb_loss_sum': loss_sum,
+                'n': jnp.float32(out.shape[0])}
+
+    return step
+
+
+def make_embed_fn(model):
+    """Deterministic embed of preprocessed (B, S, S, C) float images."""
+
+    @jax.jit
+    def embed(params, batch_stats, imgs):
+        return model.apply({'params': params, 'batch_stats': batch_stats},
+                           imgs, train=False)
+
+    return embed

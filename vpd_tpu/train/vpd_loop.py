@@ -1,0 +1,138 @@
+"""VPD student training loop: epochs, loss.json, best/periodic checkpoints.
+
+Driver parity with reference `train_vpd_model.py:171-281`; config.json is
+the manifest `apply_vpd` rebuilds the student from.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core.io import store_json
+from ..core.mesh import get_mesh, shard_batch
+from ..data.augment import RGB_MEAN_STD
+from ..models import build_encoder
+from .vpd import (MotionHead, VPDStudent, create_state, make_eval_step,
+                  make_train_step)
+
+
+def build_student(config, dtype=None):
+    import jax.numpy as jnp
+    encoder = build_encoder(
+        config['encoder_arch'], config['emb_dim'],
+        dtype=dtype if dtype is not None else jnp.bfloat16)
+    motion = MotionHead(config['emb_dim']) if config['motion'] else None
+    return VPDStudent(encoder=encoder, motion=motion)
+
+
+class VPDTrainer:
+
+    def __init__(self, train_source, val_source, config, save_dir=None,
+                 mesh=None, seed=0, dtype=None):
+        self.train_source = train_source
+        self.val_source = val_source
+        self.config = dict(config)
+        self.save_dir = save_dir
+        self.mesh = mesh if mesh is not None else get_mesh()
+
+        self.model = build_student(self.config, dtype=dtype)
+        img_dim = config['img_dim']
+        channels = 5 if config['use_flow'] else 3
+        sample = np.zeros((1, img_dim, img_dim, channels), np.float32)
+        self.state = create_state(
+            self.model, sample, config['learning_rate'], seed=seed)
+
+        mean, std = config['rgb_mean_std']
+        self.train_step = make_train_step(
+            self.model, mean, std, img_dim=img_dim,
+            use_flow=config['use_flow'])
+        self.eval_step = make_eval_step(
+            self.model, mean, std, use_flow=config['use_flow'])
+        self.rng = jax.random.key(seed + 1)
+
+        self.losses = []
+        self.selector = ckpt.MovingAvgSelector(
+            self.config.get('model_select_window', 5))
+
+    def save_config(self):
+        os.makedirs(self.save_dir, exist_ok=True)
+        store_json(os.path.join(self.save_dir, 'config.json'), self.config)
+
+    def _components(self):
+        comps = {'encoder': {
+            'params': self.state.params['encoder'],
+            'batch_stats': self.state.batch_stats.get('encoder', {})}}
+        if 'motion' in self.state.params:
+            comps['decoder'] = {
+                'params': self.state.params['motion'],
+                'batch_stats': self.state.batch_stats.get('motion', {})}
+        return comps
+
+    def save_model(self, name):
+        ckpt.save_bundle(self.save_dir, name, self._components())
+
+    def _epoch(self, source, train):
+        total, n = 0., 0.
+        for _ in range(source.num_batches):
+            batch = shard_batch(source.next_batch(), self.mesh)
+            if train:
+                self.state, m = self.train_step(self.state, batch, self.rng)
+            else:
+                m = self.eval_step(self.state, batch)
+            total += float(m['emb_loss_sum'])
+            n += float(m['n'])
+        return total / max(n, 1)
+
+    def train_one_epoch(self, epoch):
+        train_loss = self._epoch(self.train_source, train=True)
+        val_loss = (self._epoch(self.val_source, train=False)
+                    if self.val_source is not None else float('nan'))
+
+        self.losses.append({
+            'epoch': epoch, 'train': train_loss, 'val': val_loss,
+            'dataset_train': [(self.config.get('dataset', ''), train_loss)],
+            'dataset_val': [(self.config.get('dataset', ''), val_loss)]})
+        if self.save_dir:
+            store_json(os.path.join(self.save_dir, 'loss.json'), self.losses)
+
+        is_best = self.selector.update(val_loss)
+        if self.save_dir:
+            if is_best:
+                self.save_model('best_epoch')
+            freq = self.config.get('checkpoint_frequency')
+            if freq and epoch % freq == 0:
+                self.save_model('epoch{:04d}'.format(epoch))
+        return train_loss, val_loss
+
+    def fit(self, log=print):
+        epoch = 0
+        for epoch in range(1, self.config['num_epochs'] + 1):
+            train_loss, val_loss = self.train_one_epoch(epoch)
+            log('Epoch {} - train loss: {:0.4f} val loss: {:0.4f}'.format(
+                epoch, train_loss, val_loss))
+        if self.save_dir and epoch:
+            self.save_model('epoch{:04d}'.format(epoch))
+
+
+def default_config(dataset, emb_dim, num_epochs=1000, batch_size=100,
+                   learning_rate=5e-4, img_dim=128, use_flow=False,
+                   motion=False, encoder_arch='resnet34', pretrained=False,
+                   model_select_window=5, checkpoint_frequency=None):
+    """Manifest schema parity with `train_vpd_model.py:222-228`."""
+    return {
+        'dataset': dataset,
+        'num_epochs': num_epochs,
+        'batch_size': batch_size,
+        'learning_rate': learning_rate,
+        'img_dim': img_dim,
+        'use_flow': use_flow,
+        'motion': motion,
+        'emb_dim': emb_dim,
+        'encoder_arch': encoder_arch,
+        'rgb_mean_std': [list(x) for x in
+                         RGB_MEAN_STD['resnet' if pretrained else dataset]],
+        'model_select_window': model_select_window,
+        'checkpoint_frequency': checkpoint_frequency,
+    }
