@@ -1,0 +1,215 @@
+"""Downstream tasks: densify, proposals, detection AP, recognition."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vpd_tpu.datasets.load import group_by_frame, load_actions, normalize_rows
+from vpd_tpu.datasets.eval_splits import get_test_prefixes
+from vpd_tpu.datasets.metadata_cache import load_meta_cache
+from vpd_tpu.tasks.detect import (
+    Label, evaluate_proposals, get_video_intervals, run_localization)
+from vpd_tpu.tasks.eval import (
+    calc_iou, compute_ap, compute_precision_recall_curve)
+from vpd_tpu.tasks.recognize import (
+    KnnModel, SeqModel, run_action_recognition, run_action_retrieval,
+    sample_embeddings)
+from vpd_tpu.train.proposal import get_proposals
+
+
+def test_group_by_frame_mean_and_interp():
+    e = np.eye(4)
+    embs = [
+        (0, e[0], {}), (0, e[1], {}),  # two detections on frame 0
+        (3, e[2], {}),                 # gap of 2 frames
+    ]
+    dense, mask = group_by_frame(embs)
+    assert dense.shape == (4, 4)
+    np.testing.assert_allclose(dense[0], (e[0] + e[1]) / 2)
+    assert list(mask) == [True, False, False, True]
+    # reference interpolation quirk: weight a=i/gap on the PREVIOUS frame
+    a1 = 1 / 3
+    np.testing.assert_allclose(dense[1], a1 * dense[0] + (1 - a1) * dense[3])
+
+
+def test_group_by_frame_flip_rows():
+    embs = [(i, np.ones((2, 3)) * i, {}) for i in range(3)]
+    dense, mask = group_by_frame(embs)
+    assert dense.shape == (3, 2, 3)
+    assert mask.all()
+
+
+def test_normalize_rows():
+    x = np.array([[3., 4.], [0., 0.]])
+    out = normalize_rows(x)
+    np.testing.assert_allclose(out[0], [0.6, 0.8])
+    np.testing.assert_allclose(out[1], [0., 0.])  # zero rows preserved
+
+
+def test_get_proposals_merge_and_minlen():
+    scores = np.array([0, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 0, 1, 0],
+                      dtype=float)
+    # runs [1,4], [6,10], [13,13]; gap between first two is 2 > 1 ->
+    # not merged; [1,4] and [13,13] dropped (strict len > 3 filter,
+    # util/proposal.py:208-209)
+    props = get_proposals(scores, 0.5)
+    assert [p for p, _ in props] == [(6, 10)]
+    # with merge_thresh 2 the first two merge
+    props2 = get_proposals(scores, 0.5, merge_thresh=2)
+    assert props2[0][0] == (1, 10)
+
+
+def test_temporal_iou():
+    assert calc_iou(0, 10, 0, 10) == 1
+    assert calc_iou(0, 10, 10, 20) == 0
+    np.testing.assert_allclose(calc_iou(0, 10, 5, 15), 5 / 15)
+
+
+def test_ap_perfect_and_worst():
+    pc, rc = compute_precision_recall_curve([True, True], 2)
+    assert compute_ap(pc, rc) == 1.0
+    pc, rc = compute_precision_recall_curve([False, True, True], 2)
+    ap = compute_ap(pc, rc)
+    assert 0 < ap < 1
+
+
+def test_evaluate_proposals_perfect_detection():
+    # one video, two GT intervals, scores exactly covering them
+    scores = np.zeros(100)
+    scores[10:20] = 1.0
+    scores[50:60] = 1.0
+    labels = [Label('v', 'action', 10, 20, 25.0),
+              Label('v', 'action', 50, 60, 25.0)]
+    ints = get_video_intervals(labels)
+    aps = evaluate_proposals([('v', scores)], ints, [0.5],
+                             min_prop_len=5, max_prop_len=15,
+                             t_ious=[0.5])
+    np.testing.assert_allclose(aps, [[1.0]])
+
+
+def _dense_videos(num_videos=6, frames=400, dim=8, seed=0):
+    """Synthetic dense embeddings with an 'action signature' in windows."""
+    rng = np.random.default_rng(seed)
+    emb_dict = {}
+    labels = []
+    for v in range(num_videos):
+        name = 'vid{}'.format(v)
+        x = rng.normal(0, 0.3, size=(frames, dim))
+        for start in range(40, frames - 40, 90):
+            x[start:start + 20] += 2.0  # action signature
+            labels.append(Label(name, 'action', start, start + 20, 25.0))
+        emb_dict[name] = (x.astype(np.float32), np.ones(frames, bool))
+    return emb_dict, labels
+
+
+def test_run_localization_end_to_end():
+    emb_dict, labels = _dense_videos()
+    train = [l for l in labels if not l.video.endswith('5')]
+    test = [l for l in labels if l.video.endswith('5')]
+    results, thresholds = run_localization(
+        'fs_jump', emb_dict, train, test, n_trials=1, k=1,
+        hidden_dim=16, batch_size=16, samples_per_epoch=64, seq_len=64,
+        num_epochs=3, min_epochs=1, log=lambda *a: None)
+    aps = results[0]
+    assert aps.shape == (len(thresholds), 9)
+    assert np.isfinite(aps).all()
+    # the signature is trivially separable; some threshold should score well
+    assert aps.max() > 0.5
+
+
+def _recognition_data(num_classes=3, per_class=8, t=20, dim=6, seed=0):
+    rng = np.random.default_rng(seed)
+    embs, labels = {}, {}
+    # class prototypes are fixed across train/test splits
+    protos = np.random.default_rng(42).normal(size=(num_classes, dim)) * 2
+    for c in range(num_classes):
+        for i in range(per_class):
+            name = 'c{}_{}'.format(c, i)
+            seq = protos[c] + rng.normal(0, 0.3, size=(t, dim))
+            embs[name] = seq.astype(np.float32)
+            labels[name] = c
+    return embs, labels
+
+
+def test_knn_model_recognition():
+    train_embs, train_labels = _recognition_data(seed=0)
+    test_embs, test_labels = _recognition_data(per_class=3, seed=1)
+    model = KnnModel('dtw', train_embs, train_labels, k=1)
+    correct = sum(
+        int(model.predict(x)[0] == test_labels[a])
+        for a, x in test_embs.items())
+    assert correct / len(test_embs) >= 0.8
+
+
+def test_seq_model_recognition_with_flip_rows():
+    train_embs, train_labels = _recognition_data(per_class=6)
+    # add a flip dimension: (T, 2, D)
+    train_embs = {k: np.stack([v, v], axis=1)
+                  for k, v in train_embs.items()}
+    test_embs, test_labels = _recognition_data(per_class=2, seed=3)
+    test_embs = {k: np.stack([v, v], axis=1) for k, v in test_embs.items()}
+    model = SeqModel('gru', train_embs, train_labels, hidden_dim=8,
+                     num_epochs=15, min_epochs=2, learning_rate=0.01,
+                     depth=1)
+    correct = sum(
+        int(model.predict(x)[0] == test_labels[a])
+        for a, x in test_embs.items())
+    assert correct / len(test_embs) >= 0.6
+
+
+def test_run_action_recognition_few_shot_protocol(tmp_path):
+    train_embs, train_labels = _recognition_data(per_class=10)
+    test_embs, test_labels = _recognition_data(per_class=2, seed=5)
+    from vpd_tpu.datasets.load import Category
+    categories = {i: Category('class{}'.format(i)) for i in range(3)}
+
+    # premade few-shot id files
+    for ne in (2,):
+        for trial in range(2):
+            ids = [a for a in train_embs if a.endswith(
+                ('_{}'.format(trial * 2), '_{}'.format(trial * 2 + 1)))]
+            with open(tmp_path / 'train_{}_{}.ids.txt'.format(ne, trial),
+                      'w') as fp:
+                fp.write('\n'.join(ids))
+
+    accs = run_action_recognition(
+        categories, train_embs, train_labels, test_embs, test_labels,
+        test_embs, test_labels, str(tmp_path / 'out'), 'dtw', 1, [2],
+        str(tmp_path / 'train_{}_{}.ids.txt'), hidden_dim=8, attn=False,
+        num_epochs=10, val_freq=1, n_trials=2, no_test_flip=False,
+        log=lambda *a: None)
+    assert len(accs[2]) == 2
+    out_files = os.listdir(tmp_path / 'out')
+    assert any(f.endswith('.test_pred.csv') for f in out_files)
+    assert any(f.endswith('.pdf') for f in out_files)
+
+
+def test_run_action_retrieval():
+    embs, labels = _recognition_data(per_class=4)
+    hit_rates, precs = run_action_retrieval(embs, labels, [1, 3],
+                                            log=lambda *a: None)
+    assert set(hit_rates) == {1, 3}
+    assert all(0 <= v <= 100 for v in hit_rates.values())
+    assert hit_rates[3] >= hit_rates[1]
+
+
+def test_sample_embeddings_per_class():
+    embs, labels = _recognition_data(per_class=6)
+    sub = sample_embeddings(embs, labels, 2, seed=0)
+    counts = {}
+    for a in sub:
+        counts[labels[a]] = counts.get(labels[a], 0) + 1
+    assert all(v == 2 for v in counts.values())
+
+
+def test_real_split_files_load():
+    actions = load_actions(
+        'vpd_tpu/datasets/data/action_dataset/tennis/all.txt')
+    assert len(actions) > 10000
+    prefixes = get_test_prefixes('tennis')
+    assert any(a.split(':')[0].startswith(prefixes) for a in actions)
+
+    meta = load_meta_cache('tennis')
+    assert len(meta) > 1000
+    assert meta[next(iter(meta))].fps > 0

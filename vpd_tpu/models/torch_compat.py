@@ -1,0 +1,121 @@
+"""Import PyTorch reference checkpoints into the Flax models.
+
+The reference stores torchvision-layout `state_dict`s
+(`{name}.encoder.pt`); this module converts those tensors into this
+framework's NHWC Flax parameter pytrees so reference-trained models can be
+served here with < 1e-3 cosine deviation (BASELINE.md parity target).
+
+Layout mapping (torch -> flax):
+  conv weights  (O, I, kh, kw) -> (kh, kw, I, O)
+  linear        (O, I)         -> (I, O)
+  batchnorm     weight/bias/running_mean/running_var
+                -> scale/bias + batch_stats mean/var
+"""
+
+import numpy as np
+
+from .resnet import ENCODER_ARCH, BasicBlock
+
+
+def _conv(w):
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _dense(w):
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _bn(prefix, sd):
+    params = {'scale': np.asarray(sd[prefix + '.weight']),
+              'bias': np.asarray(sd[prefix + '.bias'])}
+    stats = {'mean': np.asarray(sd[prefix + '.running_mean']),
+             'var': np.asarray(sd[prefix + '.running_var'])}
+    return params, stats
+
+
+def convert_resnet_state_dict(sd, arch):
+    """torchvision-style ResNet state_dict -> (params, batch_stats).
+
+    `sd` keys may carry the reference's 'resnet.' prefix
+    (RGBF_EmbeddingModel wraps the backbone as `self.resnet`,
+    models/rgb.py:61).
+    """
+    sd = {k.split('resnet.', 1)[-1] if k.startswith('resnet.') else k: v
+          for k, v in sd.items()}
+    cfg = ENCODER_ARCH[arch]
+    is_basic = cfg.block is BasicBlock
+
+    params = {'Conv_0': {'kernel': _conv(sd['conv1.weight'])}}
+    stats = {}
+    p, s = _bn('bn1', sd)
+    params['BatchNorm_0'] = p
+    stats['BatchNorm_0'] = s
+
+    block_cls = 'BasicBlock' if is_basic else 'Bottleneck'
+    flat = 0
+    for stage, num_blocks in enumerate(cfg.layers, start=1):
+        for i in range(num_blocks):
+            t = 'layer{}.{}.'.format(stage, i)
+            name = '{}_{}'.format(block_cls, flat)
+            flat += 1
+            bp, bs = {}, {}
+            if is_basic:
+                bp['Conv_0'] = {'kernel': _conv(sd[t + 'conv1.weight'])}
+                bp['BatchNorm_0'], bs['BatchNorm_0'] = _bn(t + 'bn1', sd)
+                bp['Conv_1'] = {'kernel': _conv(sd[t + 'conv2.weight'])}
+                bp['bn_last'], bs['bn_last'] = _bn(t + 'bn2', sd)
+                down_conv = 'Conv_2'
+                down_bn = 'BatchNorm_1'
+            else:
+                bp['Conv_0'] = {'kernel': _conv(sd[t + 'conv1.weight'])}
+                bp['BatchNorm_0'], bs['BatchNorm_0'] = _bn(t + 'bn1', sd)
+                bp['Conv_1'] = {'kernel': _conv(sd[t + 'conv2.weight'])}
+                bp['BatchNorm_1'], bs['BatchNorm_1'] = _bn(t + 'bn2', sd)
+                bp['Conv_2'] = {'kernel': _conv(sd[t + 'conv3.weight'])}
+                bp['bn_last'], bs['bn_last'] = _bn(t + 'bn3', sd)
+                down_conv = 'Conv_3'
+                down_bn = 'BatchNorm_2'
+            if t + 'downsample.0.weight' in sd:
+                bp[down_conv] = {
+                    'kernel': _conv(sd[t + 'downsample.0.weight'])}
+                bp[down_bn], bs[down_bn] = _bn(t + 'downsample.1', sd)
+            params[name] = bp
+            stats[name] = bs
+
+    params['Dense_0'] = {'kernel': _dense(sd['fc.weight']),
+                         'bias': np.asarray(sd['fc.bias'])}
+    return params, stats
+
+
+def convert_fcresnet_state_dict(sd, num_blocks):
+    """Reference FCResNet state_dict -> (params, batch_stats).
+
+    Torch layout (models/module.py:178-190): layers.0 stem Linear,
+    layers.{2+i}.block.{0,1,4,5} per residual block, layers.{2+n} out
+    Linear.
+    """
+    def lin(prefix):
+        return {'kernel': _dense(sd[prefix + '.weight']),
+                'bias': np.asarray(sd[prefix + '.bias'])}
+
+    params = {'Dense_0': lin('layers.0')}
+    stats = {}
+    for i in range(num_blocks):
+        t = 'layers.{}.block.'.format(2 + i)
+        name = 'FcResidualBlock_{}'.format(i)
+        bp = {'Dense_0': lin(t + '0'), 'Dense_1': lin(t + '4')}
+        bs = {}
+        bp['BatchNorm_0'], bs['BatchNorm_0'] = _bn(t + '1', sd)
+        bp['BatchNorm_1'], bs['BatchNorm_1'] = _bn(t + '5', sd)
+        params[name] = bp
+        stats[name] = bs
+    params['Dense_1'] = lin('layers.{}'.format(2 + num_blocks))
+    return params, stats
+
+
+def load_torch_state_dict(path):
+    """Load a .pt state_dict on CPU as {key: ndarray} (torch required)."""
+    import torch
+
+    sd = torch.load(path, map_location='cpu')
+    return {k: v.numpy() for k, v in sd.items()}

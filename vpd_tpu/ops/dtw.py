@@ -98,8 +98,20 @@ def pairwise_l2(a, b):
     return np.sqrt(np.maximum(sq, 0))
 
 
-def build_dtw_distance_fn(step_pattern='symmetricP2'):
-    """Sequence-level distance fn (reference util/neighbors.py:9-17)."""
+def build_dtw_distance_fn(step_pattern='symmetricP2', prefer_native=True):
+    """Sequence-level distance fn (reference util/neighbors.py:9-17).
+
+    Uses the native C++ core (ops/dtw_native.py) when the toolchain is
+    available — the equivalent of the reference's compiled dtw-python
+    dependency — falling back to the pure-numpy DP.
+    """
+    if prefer_native:
+        try:
+            from .dtw_native import available, build_native_dtw_fn
+            if available():
+                return build_native_dtw_fn(step_pattern)
+        except Exception:
+            pass
 
     def dtw_fn(a, b):
         d = pairwise_l2(a, b)

@@ -1,0 +1,131 @@
+"""TPU-native dense optical flow + the quantized flow-PNG interchange.
+
+The reference computes flow with an external CUDA RAFT checkout
+(`raft/flow.py`) and stores it as uint8 PNGs: x/y channels clipped to
++/-clip and affinely mapped to [0, 255], third channel constant 128
+(`raft/flow.py:80-84`); optional per-image median subtraction removes
+camera motion (`:87-93`). Those PNGs are the interchange contract — this
+module reproduces the quantization exactly and adds a TPU-native flow
+estimator (batched coarse-to-fine Lucas-Kanade: pyramids by average
+pooling, bilinear warping, windowed normal equations — all conv/
+elementwise ops that map onto the VPU/MXU) so flow can be produced
+without CUDA. RAFT-generated PNGs remain drop-in compatible.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def flow_to_img(flow, clip=20):
+    """(H, W, 2) float flow -> (H, W, 3) uint8 PNG payload (parity)."""
+    flow = np.clip(np.asarray(flow), -clip, clip) + clip
+    flow = flow * (255 / (2 * clip + 1))
+    h, w, _ = flow.shape
+    return np.dstack((flow.astype(np.uint8),
+                      np.full((h, w, 1), 128, np.uint8)))
+
+
+def subtract_median(flow):
+    """Remove per-image median flow (camera motion), parity :87-93."""
+    flow = np.asarray(flow)
+    return flow - np.median(flow, axis=(0, 1))
+
+
+def _gray(img):
+    """(B, H, W, 3) [0,1] -> (B, H, W) luminance."""
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])
+
+
+def _avg_pool2(x):
+    b, h, w = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+
+
+def _bilinear_warp(img, flow):
+    """Sample img (B, H, W) at (x + u, y + v); border-clamped."""
+    b, h, w = img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow[..., 1]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow[..., 0]
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0., 1.)
+    wx = jnp.clip(xs - x0, 0., 1.)
+
+    def gather(yy, xx):
+        bidx = jnp.arange(b)[:, None, None]
+        return img[bidx, yy, xx]
+
+    return (gather(y0, x0) * (1 - wy) * (1 - wx)
+            + gather(y0, x1) * (1 - wy) * wx
+            + gather(y1, x0) * wy * (1 - wx)
+            + gather(y1, x1) * wy * wx)
+
+
+def _box_blur(x, radius):
+    """(B, H, W) box blur via 2D average pooling with 'SAME' padding."""
+    k = 2 * radius + 1
+    window = (1, k, k)
+    summed = jax.lax.reduce_window(
+        x, 0., jax.lax.add, window, (1, 1, 1), 'SAME')
+    counts = jax.lax.reduce_window(
+        jnp.ones_like(x), 0., jax.lax.add, window, (1, 1, 1), 'SAME')
+    return summed / counts
+
+
+def _lk_refine(i1, i2, flow, radius=3, num_iters=3, eps=1e-9):
+    """Iterative Lucas-Kanade refinement at one pyramid level."""
+    # spatial gradients of i2 (central differences)
+    gx = (jnp.roll(i2, -1, axis=2) - jnp.roll(i2, 1, axis=2)) / 2
+    gy = (jnp.roll(i2, -1, axis=1) - jnp.roll(i2, 1, axis=1)) / 2
+
+    def body(_, flow):
+        warped = _bilinear_warp(i1, -flow)  # i1 sampled back along flow
+        it = i2 - warped
+        ixx = _box_blur(gx * gx, radius)
+        iyy = _box_blur(gy * gy, radius)
+        ixy = _box_blur(gx * gy, radius)
+        ixt = _box_blur(gx * it, radius)
+        iyt = _box_blur(gy * it, radius)
+        det = ixx * iyy - ixy * ixy + eps
+        # solve A d = -b for the incremental flow (b = grad . residual)
+        du = -(iyy * ixt - ixy * iyt) / det
+        dv = -(ixx * iyt - ixy * ixt) / det
+        # clamp per-iteration updates (ill-conditioned flat regions)
+        step = jnp.clip(jnp.stack([du, dv], axis=-1), -2., 2.)
+        return flow + step
+
+    return jax.lax.fori_loop(0, num_iters, body, flow)
+
+
+@partial(jax.jit, static_argnames=('levels', 'radius', 'num_iters'))
+def lucas_kanade_flow(img1, img2, levels=3, radius=3, num_iters=3):
+    """Dense flow img1 -> img2 for uint8 (B, H, W, 3) batches.
+
+    Returns (B, H, W, 2) float32. H and W must be divisible by
+    2**(levels-1).
+    """
+    i1 = _gray(img1.astype(jnp.float32) / 255.)
+    i2 = _gray(img2.astype(jnp.float32) / 255.)
+
+    pyr1, pyr2 = [i1], [i2]
+    for _ in range(levels - 1):
+        pyr1.append(_avg_pool2(pyr1[-1]))
+        pyr2.append(_avg_pool2(pyr2[-1]))
+
+    b, h, w = pyr1[-1].shape
+    flow = jnp.zeros((b, h, w, 2), jnp.float32)
+    for lvl in reversed(range(levels)):
+        if lvl < levels - 1:
+            b_, h_, w_ = pyr1[lvl].shape
+            flow = 2. * jax.image.resize(
+                flow, (b_, h_, w_, 2), method='bilinear')
+        flow = _lk_refine(pyr1[lvl], pyr2[lvl], flow,
+                          radius=radius, num_iters=num_iters)
+    return flow

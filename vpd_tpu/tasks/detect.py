@@ -1,0 +1,219 @@
+"""Temporal action localization on frozen embeddings.
+
+Parity with reference `detect.py:114-435`: build binary frame labels from
+GT intervals per train video (flip rows become ensemble members sharing a
+fold via custom_split), train a KFold ensemble of proposal models, sweep
+activation thresholds x tIoU in {0.1..0.9}, clamp proposal lengths to
+[0.67, 1.33] x mean train length, greedy first-hit matching against the
+de-overlapped GT intervals, interpolated AP.
+"""
+
+import math
+from collections import defaultdict
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from ..train.proposal import EnsembleProposal, get_proposals
+from .eval import calc_iou, compute_ap, compute_precision_recall_curve
+
+LOC_TEMPORAL_IOUS = [0.1 * i for i in range(1, 10)]
+
+
+class Label(NamedTuple):
+    video: str
+    value: str
+    start_frame: int
+    end_frame: int
+    fps: float
+
+
+class DataConfig(NamedTuple):
+    video_name_prefix: Optional[str]
+    classes: list
+    window_before: float = 0.
+    window_after: float = 0.
+
+
+TENNIS_CLASSES = [
+    'forehand_topspin', 'forehand_slice', 'backhand_topspin',
+    'backhand_slice', 'forehand_volley', 'backhand_volley', 'overhead',
+    'serve', 'unknown_swing']
+TENNIS_WINDOW = 0.1
+
+DATA_CONFIGS = {
+    'tennis': DataConfig(None, TENNIS_CLASSES, TENNIS_WINDOW, TENNIS_WINDOW),
+    'tennis_front': DataConfig('front__', TENNIS_CLASSES, TENNIS_WINDOW,
+                               TENNIS_WINDOW),
+    'tennis_back': DataConfig('back__', TENNIS_CLASSES, TENNIS_WINDOW,
+                              TENNIS_WINDOW),
+    'fs_jump': DataConfig(
+        None, ['axel', 'lutz', 'flip', 'loop', 'salchow', 'toe_loop']),
+    'fx': DataConfig(None, []),
+}
+
+
+def get_video_intervals(examples):
+    """De-overlapped GT frame intervals per video (`detect.py:98-111`)."""
+    result = defaultdict(list)
+    for label in examples:
+        result[label.video].append((label.start_frame, label.end_frame))
+
+    def deoverlap(intervals):
+        ret = []
+        for a, b in sorted(intervals):
+            if not ret or ret[-1][1] < a:
+                ret.append((a, b))
+            else:
+                ret[-1] = (ret[-1][0], b)
+        return tuple(ret)
+
+    return {k: deoverlap(v) for k, v in result.items()}
+
+
+class ProposalModel:
+    """Dense embs + GT intervals -> ensemble trainer (`detect.py:114-173`)."""
+
+    NUM_TRAIN_EPOCHS = 25
+    MIN_TRAIN_EPOCHS = 10
+
+    def __init__(self, arch_type, emb_dict, train_labels, hidden_dim,
+                 ensemble_size, splits=5, **kwargs):
+        self.embs = emb_dict
+        train_videos = sorted({l.video for l in train_labels
+                               if l.video in emb_dict})
+
+        def get_gt(video):
+            vx, _ = emb_dict[video]
+            vy = np.zeros(vx.shape[0], dtype=np.int32)
+            for l in train_labels:
+                if l.video == video:
+                    vy[l.start_frame:l.end_frame] = 1
+            return vx, vy
+
+        X, y, custom_split = [], [], None
+        for i, v in enumerate(train_videos):
+            vx, vy = get_gt(v)
+            if len(vx.shape) == 3:
+                if custom_split is None:
+                    custom_split = []
+                for j in range(vx.shape[1]):
+                    X.append(vx[:, j, :])
+                    y.append(vy)
+                    custom_split.append(i)
+            else:
+                X.append(vx)
+                y.append(vy)
+
+        if len(X) < ensemble_size:
+            ensemble_size = splits = len(X)
+
+        kwargs.setdefault('num_epochs', self.NUM_TRAIN_EPOCHS)
+        kwargs.setdefault('min_epochs', self.MIN_TRAIN_EPOCHS)
+        self.model = EnsembleProposal(
+            arch_type, X, y, hidden_dim, ensemble_size=ensemble_size,
+            splits=splits, custom_split=custom_split, **kwargs)
+
+    def predict(self, video):
+        x = self.embs[video][0]
+        if len(x.shape) == 3:
+            return self.model.predict_n(
+                *[x[:, i, :] for i in range(x.shape[1])])
+        return self.model.predict(x)
+
+
+def evaluate_proposals(results, test_video_ints, thresholds,
+                       min_prop_len, max_prop_len,
+                       t_ious=LOC_TEMPORAL_IOUS):
+    """AP table over thresholds x tIoU (`detect.py:354-421`).
+
+    results: [(video, per-frame scores)]. Returns (len(thresholds),
+    len(t_ious)) array.
+    """
+    test_video_int_count = sum(len(v) for v in test_video_ints.values())
+
+    def ap_at_threshold(act_thresh):
+        all_props = []
+        for video, scores in results:
+            for p, score in get_proposals(scores, act_thresh):
+                all_props.append((video, p, score))
+        all_props.sort(key=lambda x: -x[-1])
+
+        aps = []
+        for t_iou in t_ious:
+            remaining = {v: set(ints)
+                         for v, ints in test_video_ints.items()}
+            is_tp = []
+            for video, p, _ in all_props:
+                mid = (p[1] + p[0]) // 2
+                if p[1] - p[0] < min_prop_len:
+                    p = (max(0, mid - min_prop_len // 2),
+                         mid + min_prop_len // 2)
+                elif p[1] - p[0] > max_prop_len:
+                    p = (max(0, mid - max_prop_len // 2),
+                         mid + max_prop_len // 2)
+
+                video_remaining = remaining.get(video)
+                if video_remaining is None:
+                    is_tp.append(False)
+                else:
+                    recalled = [gt for gt in video_remaining
+                                if calc_iou(*p, *gt) >= t_iou]
+                    for gt in recalled:
+                        video_remaining.remove(gt)
+                    if not video_remaining:
+                        del remaining[video]
+                    is_tp.append(len(recalled) > 0)
+
+            if is_tp and any(is_tp):
+                pc, rc = compute_precision_recall_curve(
+                    is_tp, test_video_int_count)
+                aps.append(compute_ap(pc, rc))
+            else:
+                aps.append(0)
+        return aps
+
+    return np.array([ap_at_threshold(t) for t in thresholds])
+
+
+def run_localization(dataset_name, emb_dict, train_examples, test_examples,
+                     n_trials=1, algorithm='gru', k=1, hidden_dim=128,
+                     batch_size=None, few_shot_videos_fn=None,
+                     n_examples=-1, log=print, **model_kwargs):
+    """Full protocol (`detect.py:291-435`). Returns list of AP tables."""
+    test_video_ints = get_video_intervals(test_examples)
+
+    mean_len = np.mean([t.end_frame - t.start_frame
+                        for t in train_examples])
+    min_prop_len = 0.67 * math.ceil(mean_len)
+    max_prop_len = 1.33 * math.ceil(mean_len)
+
+    thresholds = (np.linspace(0.05, 0.5, 10) if 'tennis' in dataset_name
+                  else np.linspace(0.1, 0.9, 9))
+
+    if batch_size is not None:
+        model_kwargs['batch_size'] = batch_size
+
+    trial_results = []
+    for trial in range(n_trials):
+        if n_examples < 0:
+            exp_train = train_examples
+        else:
+            train_videos = few_shot_videos_fn(trial)[:n_examples]
+            exp_train = [
+                l for l in train_examples
+                if (l.video in train_videos or
+                    ('tennis' in dataset_name and
+                     l.video.split('__', 1)[1] in train_videos))]
+
+        model = ProposalModel(algorithm, emb_dict, exp_train, hidden_dim,
+                              ensemble_size=k, **model_kwargs)
+        results = [
+            (video, model.predict(video))
+            for video in sorted({l.video for l in test_examples
+                                 if l.video in emb_dict})]
+        aps = evaluate_proposals(results, test_video_ints, thresholds,
+                                 min_prop_len, max_prop_len)
+        log('Trial {}: max AP {:0.4f}'.format(trial, aps.max()))
+        trial_results.append(aps)
+    return trial_results, thresholds

@@ -1,0 +1,97 @@
+"""k-NN and retrieval over DTW distances.
+
+Parity with reference `util/neighbors.py:29-93` (heap top-k, majority vote
+with nearest-of-majority tiebreak). The distance backend is this
+framework's DTW (`ops/dtw.py`); `batch_distances` optionally routes the
+all-pairs sweep through the batched TPU DTW kernel, replacing the
+reference's per-pair compiled scalar core + process pool.
+"""
+
+import heapq
+from collections import Counter
+
+import numpy as np
+
+from ..ops.dtw import build_dtw_distance_fn
+
+
+class KNearestNeighbors:
+
+    def __init__(self, X, y, distance_fn, k=1):
+        self.X = X
+        self.y = y
+        self.k = k
+        self.distance_fn = distance_fn
+
+    def predict(self, x):
+        return self.predict_n(x)
+
+    def predict_n(self, *xs):
+        top_k = []
+        for x in xs:
+            for i, x_train in enumerate(self.X):
+                d = self.distance_fn(x, x_train)
+                (heapq.heappush if len(top_k) < self.k
+                 else heapq.heappushpop)(top_k, (-d, i))
+        top_k = [(-d, i) for d, i in top_k]
+
+        cls_count = Counter(self.y[i] for _, i in top_k)
+        max_count = cls_count.most_common(1)[0][1]
+
+        best_i = None
+        best_cls_dist = float('inf')
+        for d, i in top_k:
+            if cls_count[self.y[i]] == max_count and d < best_cls_dist:
+                best_cls_dist = d
+                best_i = i
+        return self.y[best_i], best_i
+
+
+class Neighbors:
+    """Retrieval ranking (`util/neighbors.py:76-93`)."""
+
+    def __init__(self, X, distance_fn):
+        self.X = X
+        self.distance_fn = distance_fn
+
+    def find(self, x, k, min_len):
+        knn_pq = []
+        for i, x_train in enumerate(self.X):
+            if x_train is not None and x_train.shape[0] >= min_len:
+                d = self.distance_fn(x, x_train)
+                (heapq.heappush if len(knn_pq) < k
+                 else heapq.heappushpop)(knn_pq, (-d, i))
+        return [(i, -nd) for nd, i in sorted(knn_pq, key=lambda z: -z[0])]
+
+    def dist(self, x, i):
+        return self.distance_fn(x, self.X[i])
+
+
+def batch_distances_tpu(queries, targets, max_len=512):
+    """(Q, T) normalized symmetric2 DTW distances on device.
+
+    queries/targets: lists of (T_i, D) arrays. Sequences longer than
+    max_len are truncated (retrieval sweeps; callers pick max_len).
+    """
+    from ..ops.dtw import dtw_distance_matrix_tpu
+
+    def pad(seqs):
+        d = seqs[0].shape[-1]
+        out = np.zeros((len(seqs), max_len, d), np.float32)
+        lens = np.zeros(len(seqs), np.int32)
+        for i, s in enumerate(seqs):
+            n = min(len(s), max_len)
+            out[i, :n] = s[:n]
+            lens[i] = n
+        return out, lens
+
+    q, ql = pad(queries)
+    t, tl = pad(targets)
+    return np.asarray(dtw_distance_matrix_tpu(q, ql, t, tl))
+
+
+def make_dtw_fns():
+    """(primary symmetricP2, fallback symmetric2) distance fns
+    (`recognize.py:133-135`)."""
+    return (build_dtw_distance_fn('symmetricP2'),
+            build_dtw_distance_fn('symmetric2'))

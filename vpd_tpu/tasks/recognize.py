@@ -1,0 +1,272 @@
+"""Few-shot action recognition and retrieval on frozen embeddings.
+
+Parity with reference `recognize.py:68-649`: SeqModel (GRU/LSTM/CNN heads,
+flip rows become extra training sequences, flip-ensemble prediction),
+KnnModel (DTW symmetricP2 with symmetric2 fallback, most-common-class
+fallback on error), few-shot trials over premade id files, accuracy /
+confusion / CSV outputs, and DTW retrieval with hit@k / prec@k.
+"""
+
+import csv
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from ..train.classifier import SeqModelTrainer
+from .eval import save_confusion_matrix
+from .neighbors import KNearestNeighbors, Neighbors, make_dtw_fns
+from ..ops.dtw import build_dtw_distance_fn
+
+KNN_MODELS = ['dtw']
+SEQ_MODELS = ['lstm', 'gru', 'cnn']
+
+
+def _expand_flip_rows(all_embs, labels, class_index):
+    """(T, k, D) flip rows -> k separate training sequences."""
+    X, y = [], []
+    for seq, embs in all_embs.items():
+        if embs is None:
+            continue
+        tgt = class_index(labels[seq])
+        if len(embs.shape) == 3:
+            for j in range(embs.shape[1]):
+                X.append(embs[:, j, :])
+                y.append(tgt)
+        else:
+            X.append(embs)
+            y.append(tgt)
+    return X, np.array(y)
+
+
+class SeqModel:
+    """Sequence-head recognizer (`recognize.py:68-122`)."""
+
+    def __init__(self, arch_type, train_embs, train_labels, hidden_dim,
+                 val_embs=None, val_labels=None, **kwargs):
+        classes = Counter(train_labels[seq] for seq in train_embs)
+        self.classes = sorted(classes.keys())
+        self.top_class = classes.most_common()[0][0]
+
+        cidx = self.classes.index
+        X, y = _expand_flip_rows(train_embs, train_labels, cidx)
+        X_val, y_val = (None, None)
+        if val_embs:
+            X_val, y_val = _expand_flip_rows(val_embs, val_labels, cidx)
+
+        self.model = SeqModelTrainer(
+            arch_type, X, y, hidden_dim, X_val=X_val, y_val=y_val, **kwargs)
+
+    def predict(self, x, ensemble=True):
+        if x is not None:
+            try:
+                if len(x.shape) == 3:
+                    if ensemble:
+                        pred = self.model.predict_n(
+                            *[x[:, i, :] for i in range(x.shape[1])])[0]
+                    else:
+                        pred = self.model.predict(x[:, 0, :])[0]
+                else:
+                    pred = self.model.predict(x)[0]
+                return self.classes[pred], None
+            except Exception as e:  # most-common fallback (parity)
+                print(e)
+        return self.top_class, None
+
+
+class KnnModel:
+    """DTW k-NN recognizer (`recognize.py:125-184`)."""
+
+    def __init__(self, dist_type, train_embs, train_labels, k):
+        classes = Counter(train_labels[seq] for seq in train_embs)
+        self.top_class = classes.most_common()[0][0]
+        assert dist_type == 'dtw', dist_type
+        dist_fn, dist_fn2 = make_dtw_fns()
+
+        X, y, val = [], [], []
+        for seq, embs in train_embs.items():
+            if embs is None:
+                continue
+            tgt = train_labels[seq]
+            if len(embs.shape) == 3:
+                for i in range(embs.shape[1]):
+                    X.append(embs[:, i, :])
+                    y.append(tgt)
+                    val.append(seq)
+            else:
+                X.append(embs)
+                y.append(tgt)
+                val.append(seq)
+        self.val = val
+        self.model = KNearestNeighbors(X, y, dist_fn, k=k)
+        self.model2 = KNearestNeighbors(X, y, dist_fn2, k=k)
+
+    def predict(self, x, ensemble=True):
+        def _predict(model):
+            if len(x.shape) == 3:
+                if ensemble:
+                    pred, i = model.predict_n(
+                        *[x[:, j, :] for j in range(x.shape[1])])
+                else:
+                    pred, i = model.predict(x[:, 0, :])
+            else:
+                pred, i = model.predict(x)
+            if i is None:
+                raise ValueError('No prediction')
+            return pred, self.val[i]
+
+        if x is not None:
+            try:
+                return _predict(self.model)
+            except Exception:
+                try:
+                    return _predict(self.model2)
+                except Exception as e:
+                    print(e)
+        return self.top_class, None
+
+
+def sample_embeddings(embs, labels, n, keep_ratio=False, seed=None):
+    """Per-class subsampling (`recognize.py:187-199`)."""
+    rng = np.random.default_rng(seed)
+    label_to_seqs = defaultdict(list)
+    for seq in embs:
+        label_to_seqs[labels[seq]].append(seq)
+    least = min(len(x) for x in label_to_seqs.values())
+
+    sub = []
+    for seqs in label_to_seqs.values():
+        tmp = round(len(seqs) / least * n) if keep_ratio else n
+        if len(seqs) > tmp:
+            seqs = rng.choice(seqs, tmp, replace=False)
+        sub.extend(seqs)
+    return {s: embs[s] for s in sub}
+
+
+def run_action_recognition(
+        categories, train_embs, train_labels, val_embs, val_labels,
+        test_embs, test_labels, out_dir, algorithm, k, num_train_examples,
+        few_shot_template, hidden_dim, attn, num_epochs, val_freq,
+        n_trials, no_test_flip, load_action_ids_fn=None, log=print):
+    """Few-shot evaluation protocol (`recognize.py:453-577`).
+
+    Returns {ne: [trial accuracies]}.
+    """
+    from ..datasets.load import load_action_ids
+    if load_action_ids_fn is None:
+        load_action_ids_fn = load_action_ids
+
+    def build_model(embs):
+        if algorithm in SEQ_MODELS:
+            assert k == 1
+            kwargs = {'hidden_dim': hidden_dim, 'num_epochs': num_epochs,
+                      'val_freq': val_freq,
+                      'early_term_val_num_epochs': num_epochs // 3}
+            if algorithm in ('gru', 'lstm'):
+                kwargs['use_attention'] = attn
+            return SeqModel(algorithm, embs, train_labels,
+                            val_embs=val_embs, val_labels=val_labels,
+                            **kwargs)
+        return KnnModel(algorithm, embs, train_labels, k)
+
+    def run_trial(trial, embs, ne):
+        model = build_model(embs)
+        results = []
+        errors = 0
+        for action_id, action_embs in test_embs.items():
+            pred, neighbor = model.predict(action_embs, not no_test_flip)
+            actual = test_labels[action_id]
+            if pred != actual:
+                errors += 1
+            pred_name = (categories[pred].name if pred in categories
+                         else '')
+            results.append((action_id, actual, categories[actual].name,
+                            pred, pred_name, neighbor))
+        acc = 1 - errors / len(results)
+        log('Trial {}: accuracy {:0.4f}'.format(trial, acc))
+
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            trial_str = 'trial{}_{}_{}'.format(
+                trial, ne if ne > 0 else 'full', algorithm)
+            for norm in ('true', 'pred'):
+                save_confusion_matrix(
+                    [r[2] for r in results], [r[4] for r in results],
+                    os.path.join(out_dir, '{}.test_conf.norm_{}.pdf'.format(
+                        trial_str, norm)), norm=norm)
+            with open(os.path.join(
+                    out_dir, '{}.test_pred.csv'.format(trial_str)),
+                    'w') as fp:
+                writer = csv.writer(fp)
+                writer.writerow([
+                    'sequence', 'actual', 'actual_name',
+                    'pred (acc={})'.format(acc), 'pred_name', 'neighbor'])
+                writer.writerows(results)
+        return acc
+
+    accs = {}
+    for ne in num_train_examples:
+        trial_accs = []
+        for i in range(n_trials):
+            if ne > 0:
+                ids = load_action_ids_fn(few_shot_template.format(ne, i))
+                embs = {a: b for a, b in train_embs.items() if a in ids}
+            else:
+                embs = train_embs
+            trial_accs.append(run_trial(i, embs, ne))
+        log('{}-shot mean accuracy: {:0.3f} +/- {:0.3f}'.format(
+            ne if ne > 0 else 'full',
+            np.mean(trial_accs) * 100, np.std(trial_accs) * 100))
+        accs[ne] = trial_accs
+    return accs
+
+
+def run_action_retrieval(emb_dict, label_dict, hit_t, queryset=None,
+                         log=print):
+    """DTW leave-query retrieval; returns (hit@k, prec@k) dicts
+    (`recognize.py:580-649`)."""
+    hit_t = sorted(hit_t)
+
+    def get_embs(a):
+        embs = emb_dict[a]
+        if embs is not None and len(embs.shape) == 3:
+            embs = embs.reshape((embs.shape[0], -1))
+        return embs
+
+    actions = sorted(emb_dict.keys())
+    neighbors = Neighbors([get_embs(a) for a in actions],
+                          build_dtw_distance_fn())
+
+    hit_counts = defaultdict(int)
+    hit_precs = defaultdict(list)
+    queries = list(enumerate(actions))
+    if queryset is not None:
+        queries = [q for q in queries if q[1] in queryset]
+
+    max_hit = max(hit_t) + 1
+    for q_idx, q in queries:
+        hit_at = None
+        hits = []
+        embs_q = get_embs(q)
+        if embs_q is not None:
+            idx_ofs = 1  # +1 until we see the query itself
+            for j, (r_idx, _) in enumerate(
+                    neighbors.find(embs_q, max_hit, 1)):
+                if r_idx == q_idx:
+                    idx_ofs = 0
+                elif label_dict[q] == label_dict[actions[r_idx]]:
+                    if hit_at is None:
+                        hit_at = j + idx_ofs
+                    hits.append(j + idx_ofs)
+
+        for h in hit_t:
+            if hit_at is not None and h >= hit_at:
+                hit_counts[h] += 1
+            prec = (sum(int(x <= h) for x in hits) / h) if hits else 0
+            hit_precs[h].append(prec)
+
+    hit_rates = {h: hit_counts[h] / len(queries) * 100 for h in hit_t}
+    precs = {h: float(np.mean(hit_precs[h])) * 100 for h in hit_t}
+    log('hit@: {}'.format({h: round(v, 2) for h, v in hit_rates.items()}))
+    log('prec@: {}'.format({h: round(v, 2) for h, v in precs.items()}))
+    return hit_rates, precs

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Extract VPD student embeddings (CLI parity: `apply_vpd_model.py`)."""
+
+import argparse
+
+from ..infer.apply_vpd import apply_vpd, scan_crop_dir, scan_tennis_crop_dir
+from . import paths
+
+DATASETS = ['tennis', 'fs', 'fx', 'diving48']
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('model_dir', type=str)
+    parser.add_argument('-d', '--dataset', type=str, required=True,
+                        choices=DATASETS)
+    parser.add_argument('-o', '--out_dir', type=str, required=True)
+    parser.add_argument('-m', '--model_epoch', type=int)
+    parser.add_argument('--jitter', type=int, default=0)
+    parser.add_argument('--no_flip', action='store_true')
+    parser.add_argument('--flow_img', type=str)
+    parser.add_argument('--batch_size', type=int, default=512)
+    return parser.parse_args()
+
+
+def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
+         flow_img, batch_size):
+    if dataset == 'tennis':
+        videos, tasks = scan_tennis_crop_dir(
+            paths.TENNIS_VIDEO_DIR, paths.TENNIS_CROP_DIR)
+    else:
+        crop_dir = {'fs': paths.FS_CROP_DIR, 'fx': paths.FX_CROP_DIR,
+                    'diving48': paths.DIVING48_CROP_DIR}[dataset]
+        videos, tasks = scan_crop_dir(crop_dir)
+
+    apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=model_epoch,
+              flow_img_name=flow_img, jitter=jitter, no_flip=no_flip,
+              batch_size=batch_size)
+    print('Done!')
+
+
+if __name__ == '__main__':
+    main(**vars(get_args()))

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Compute optical flow PNGs for crop directories (raft/flow.py parity).
+
+Walks crop dirs for ('<frame>.prev.png', '<frame>.png') pairs, estimates
+flow on device with the batched Lucas-Kanade pyramid, and writes
+'<frame>.<out_name>.png' in the reference's quantized format (clip +/-20,
+optional median subtraction). RAFT-generated PNGs are interchangeable.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data.crops import _imread_rgb
+from ..ops.flow import flow_to_img, lucas_kanade_flow, subtract_median
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('path', help='crop root (videos as subdirs)')
+    parser.add_argument('--out_name', type=str, required=True,
+                        help='suffix: <frame>.<out_name>.png')
+    parser.add_argument('--clip', type=int, default=20)
+    parser.add_argument('--img_dim', type=int, default=128)
+    parser.add_argument('--batch_size', type=int, default=256)
+    parser.add_argument('--overwrite', action='store_true')
+    parser.add_argument('--subtract_median', action='store_true')
+    return parser.parse_args()
+
+
+def get_pairs(crop_dir, out_suffix, overwrite):
+    pairs = []
+    for root, _, files in os.walk(crop_dir):
+        for f in files:
+            if f.endswith('.prev.png'):
+                prefix = os.path.join(root, f[:-len('.prev.png')])
+                if os.path.isfile(prefix + '.png') and (
+                        overwrite or
+                        not os.path.exists(prefix + out_suffix)):
+                    pairs.append(prefix)
+    return sorted(pairs)
+
+
+def main(path, out_name, clip, img_dim, batch_size, overwrite,
+         subtract_median_flag=False):
+    sub_median = subtract_median_flag
+    out_suffix = '.{}.png'.format(out_name)
+    pairs = get_pairs(path, out_suffix, overwrite)
+    print('{} frame pairs to process'.format(len(pairs)))
+
+    import cv2
+    png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
+
+    for i in range(0, len(pairs), batch_size):
+        chunk = pairs[i:i + batch_size]
+        n = len(chunk)
+        prev = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        curr = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        for j, prefix in enumerate(chunk):
+            prev[j] = _imread_rgb(prefix + '.prev.png', img_dim)
+            curr[j] = _imread_rgb(prefix + '.png', img_dim)
+        flow = np.asarray(lucas_kanade_flow(prev, curr))[:n]
+        for j, prefix in enumerate(chunk):
+            fi = flow[j]
+            if sub_median:
+                fi = subtract_median(fi)
+            cv2.imwrite(prefix + out_suffix, flow_to_img(fi, clip),
+                        png_compression)
+    print('Done!')
+
+
+if __name__ == '__main__':
+    a = get_args()
+    main(a.path, a.out_name, a.clip, a.img_dim, a.batch_size, a.overwrite,
+         subtract_median_flag=a.subtract_median)

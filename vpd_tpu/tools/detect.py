@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Temporal detection CLI (parity: reference `detect.py`)."""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..core.io import load_text
+from ..datasets.load import load_actions, load_embs
+from ..datasets.eval_splits import get_test_prefixes
+from ..datasets.metadata_cache import load_video_metadata
+from ..datasets.recognition_data import ACTION_DATA_DIR
+from ..tasks.detect import (DATA_CONFIGS, LOC_TEMPORAL_IOUS, Label,
+                            run_localization)
+from . import paths
+
+SEQ_MODELS = ['lstm', 'gru']
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('dataset', choices=list(DATA_CONFIGS.keys()))
+    parser.add_argument('-k', type=int, default=1)
+    parser.add_argument('-o', '--out_dir', type=str)
+    parser.add_argument('--emb_dir', type=str, required=True)
+    parser.add_argument('-nt', '--n_trials', type=int, default=1)
+    parser.add_argument('--algorithm', type=str, choices=SEQ_MODELS,
+                        default='gru')
+    parser.add_argument('-ne', '--n_examples', type=int, default=-1)
+    parser.add_argument('-tw', '--tennis_window', type=float)
+    parser.add_argument('--norm', action='store_true')
+    parser.add_argument('--hidden_dim', type=int, default=128)
+    parser.add_argument('--batch_size', type=int)
+    return parser.parse_args()
+
+
+def load_tennis_labels(config):
+    meta = load_video_metadata('tennis', paths.TENNIS_VIDEO_DIR)
+    meta = {
+        (*k.rsplit('_', 2)[:1], int(k.rsplit('_', 2)[1]),
+         int(k.rsplit('_', 2)[2]), k): v
+        for k, v in meta.items()}
+    actions = load_actions(
+        os.path.join(ACTION_DATA_DIR, 'tennis', 'all.txt'))
+    test_prefixes = get_test_prefixes('tennis')
+
+    train_labels, test_labels = [], []
+    for action, label_name in actions.items():
+        if label_name not in config.classes:
+            continue
+        base_video, player, frame = action.split(':')
+        frame = int(frame)
+        label = None
+        for k, m in meta.items():
+            if k[0] == base_video and k[1] <= frame <= k[2]:
+                fps = m.fps
+                mid = frame - k[1]
+                label = Label(
+                    '{}__{}'.format(player, k[-1]), 'action',
+                    max(0, int(mid - fps * config.window_before)),
+                    int(mid + fps * config.window_after), fps)
+                break
+        if label is None:
+            continue
+        (test_labels if base_video.startswith(test_prefixes)
+         else train_labels).append(label)
+    return train_labels, test_labels
+
+
+def load_fs_labels(config):
+    meta = load_video_metadata('fs', paths.FS_VIDEO_DIR)
+    actions = load_actions(os.path.join(ACTION_DATA_DIR, 'fs', 'all.txt'))
+    test_prefixes = get_test_prefixes('fs')
+
+    train_labels, test_labels = [], []
+    for action, label_name in actions.items():
+        if label_name not in config.classes:
+            continue
+        video, start_frame, end_frame = action.split(':')
+        start_frame, end_frame = int(start_frame), int(end_frame)
+        fps = meta[video].fps
+        mid = (start_frame + end_frame) / 2
+        start_frame = min(start_frame,
+                          int(mid - fps * config.window_before))
+        end_frame = max(end_frame, int(mid + fps * config.window_after))
+        label = Label(video, 'action', start_frame, end_frame, fps)
+        (test_labels if video.startswith(test_prefixes)
+         else train_labels).append(label)
+    return train_labels, test_labels
+
+
+def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
+         tennis_window, norm, hidden_dim, batch_size):
+    config = DATA_CONFIGS[dataset]
+    emb_dict = load_embs(emb_dir, norm)
+
+    if dataset.startswith('tennis'):
+        if tennis_window is not None:
+            config = config._replace(window_before=tennis_window,
+                                     window_after=tennis_window)
+        train_labels, test_labels = load_tennis_labels(config)
+        if config.video_name_prefix:
+            train_labels = [l for l in train_labels
+                            if l.video.startswith(config.video_name_prefix)]
+            test_labels = [l for l in test_labels
+                           if l.video.startswith(config.video_name_prefix)]
+    elif dataset.startswith('fs'):
+        train_labels, test_labels = load_fs_labels(config)
+    else:
+        raise NotImplementedError(dataset)
+
+    def few_shot_videos(trial):
+        path = os.path.join(
+            ACTION_DATA_DIR, 'fs' if dataset.startswith('fs') else dataset,
+            'train.localize.{}.txt'.format(trial))
+        return load_text(path)
+
+    trial_results, thresholds = run_localization(
+        dataset, emb_dict, train_labels, test_labels, n_trials=n_trials,
+        algorithm=algorithm, k=k, hidden_dim=hidden_dim,
+        batch_size=batch_size, few_shot_videos_fn=few_shot_videos,
+        n_examples=n_examples)
+
+    mean = np.mean(trial_results, axis=0)
+    print('AP table (rows=thresholds {}, cols=tIoU {}):'.format(
+        [round(t, 2) for t in thresholds],
+        [round(t, 1) for t in LOC_TEMPORAL_IOUS]))
+    print(np.array_str(mean, precision=3))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, 'ap_table.npy'), mean)
+
+
+if __name__ == '__main__':
+    main(**vars(get_args()))

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Train the VPD student (CLI parity: reference `train_vpd_model.py`)."""
+
+import argparse
+import os
+
+from ..data.crops import CropBatchSource, scan_emb_dir, train_val_split
+from ..datasets.eval_splits import get_test_prefixes
+from ..train.vpd_loop import VPDTrainer, default_config
+from . import paths
+
+DATASETS = ['tennis', 'fs', 'fx', 'diving48']
+
+CROP_DIRS = {
+    'tennis': paths.TENNIS_CROP_DIR,
+    'fs': paths.FS_CROP_DIR,
+    'fx': paths.FX_CROP_DIR,
+    'diving48': paths.DIVING48_CROP_DIR,
+}
+ROOT_DIRS = {
+    'tennis': paths.TENNIS_ROOT_DIR,
+    'fs': paths.FS_ROOT_DIR,
+    'fx': paths.FX_ROOT_DIR,
+    'diving48': paths.DIVING48_ROOT_DIR,
+}
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('dataset', type=str, choices=DATASETS)
+    parser.add_argument('--save_dir', type=str, required=True)
+    parser.add_argument('--checkpoint_frequency', type=int)
+    parser.add_argument('--num_epochs', type=int, default=1000)
+    parser.add_argument('--batch_size', type=int, default=100)
+    parser.add_argument('--learning_rate', type=float, default=0.0005)
+    parser.add_argument('--img_dim', type=int, default=128)
+    parser.add_argument('--flow_img', type=str)
+    parser.add_argument('--motion', action='store_true')
+    parser.add_argument('--encoder_arch', type=str, default='resnet34')
+    parser.add_argument('--model_select_window', type=int, default=5)
+    parser.add_argument('--pretrained', action='store_true')
+    parser.add_argument('--no_test_video', action='store_true')
+    parser.add_argument('--min_pose_score', type=float)
+    parser.add_argument('--emb_dir', type=str)
+    parser.add_argument('--seed', type=int, default=0)
+    return parser.parse_args()
+
+
+def get_exclude_prefixes(dataset):
+    if dataset in ('tennis', 'fs'):
+        return get_test_prefixes(dataset)
+    if dataset == 'fx':
+        from ..datasets import finegym
+        return tuple(l.split('_A_')[0] for l in
+                     finegym.load_labels(finegym.GYM99_VAL_FILE))
+    if dataset == 'diving48':
+        from ..datasets import diving48
+        return tuple(diving48.load_labels_and_embeddings(
+            diving48.DIVING48_V2_TEST_FILE)[0].keys())
+    raise NotImplementedError(dataset)
+
+
+def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
+         learning_rate, img_dim, flow_img, motion, encoder_arch,
+         model_select_window, pretrained, no_test_video, min_pose_score,
+         emb_dir, seed):
+    if emb_dir is None:
+        emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
+    exclude = get_exclude_prefixes(dataset) if no_test_video else None
+
+    samples, emb_dim = scan_emb_dir(
+        emb_dir, embed_time=motion, min_pose_score=min_pose_score,
+        exclude_prefixes=exclude, tennis_layout=(dataset == 'tennis'))
+    train, val = train_val_split(samples, 0.2, seed=seed)
+
+    crop_dir = CROP_DIRS[dataset]
+    src_kwargs = {'flow_img_name': flow_img}
+    train_src = CropBatchSource(train, crop_dir, img_dim, batch_size,
+                                target_len=20000, seed=seed, **src_kwargs)
+    val_src = CropBatchSource(val, crop_dir, img_dim, batch_size,
+                              target_len=4000, augment=False,
+                              seed=seed + 1, **src_kwargs)
+
+    config = default_config(
+        dataset, emb_dim, num_epochs=num_epochs, batch_size=batch_size,
+        learning_rate=learning_rate, img_dim=img_dim,
+        use_flow=flow_img is not None, motion=motion,
+        encoder_arch=encoder_arch, pretrained=pretrained,
+        model_select_window=model_select_window,
+        checkpoint_frequency=checkpoint_frequency)
+
+    trainer = VPDTrainer(train_src, val_src, config, save_dir=save_dir,
+                         seed=seed)
+    trainer.save_config()
+    trainer.fit()
+    print('Done!')
+
+
+if __name__ == '__main__':
+    main(**vars(get_args()))
