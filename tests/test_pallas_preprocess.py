@@ -1,0 +1,38 @@
+"""Pallas fused preprocessing kernel vs the XLA reference path.
+
+Runs in pallas interpret mode (CPU); the compiled kernel is exercised on
+real TPU by bench/perf scripts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpd_tpu.data.augment import eval_transform_batch, flip_batch
+from vpd_tpu.ops.pallas.preprocess import preprocess_crops_pallas
+
+MEAN = (0.45, 0.47, 0.46)
+STD = (0.13, 0.12, 0.12)
+
+
+@pytest.mark.parametrize('use_flow', [True, False])
+def test_pallas_matches_xla(use_flow):
+    rng = np.random.default_rng(0)
+    b, s = 16, 32
+    rgb = rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8)
+    flow = rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8)
+    flip = (np.arange(b) % 2).astype(np.int32)
+
+    out = np.asarray(preprocess_crops_pallas(
+        rgb, flow if use_flow else None, jnp.asarray(flip), MEAN, STD,
+        block_b=8, interpret=True)).astype(np.float32)
+
+    x = np.asarray(eval_transform_batch(
+        rgb, MEAN, STD, flow_u8=flow if use_flow else None))
+    xf = np.asarray(flip_batch(jnp.asarray(x), use_flow))
+    expected = np.where(flip.reshape(-1, 1, 1, 1).astype(bool), xf, x)
+
+    assert out.shape == expected.shape
+    # bf16 output rounding
+    np.testing.assert_allclose(out, expected, atol=0.02)

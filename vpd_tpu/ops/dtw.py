@@ -126,58 +126,128 @@ def build_dtw_distance_fn(step_pattern='symmetricP2', prefer_native=True):
 
 if _HAS_JAX:
 
-    def _tpu_symmetric2(d, n, m):
-        """DP over rows via lax.scan; d is (N_pad, M_pad) with +inf padding
-        outside (n, m). Returns unnormalized end cost."""
-        N, M = d.shape
-        BIG = jnp.float32(1e30)
+    BIG = jnp.float32(1e30)
 
-        col_ids = jnp.arange(M)
+    def _row_scan_symmetric2(d, n, m):
+        """Vectorized-row DP via the (min,+) prefix trick.
 
-        def row_step(carry, row_d):
-            prev, row_idx = carry
-            # left-to-right dependency within a row: scan over columns
-            def col_step(left, inputs):
-                dj, prev_j, prev_jm1, j = inputs
-                diag = jnp.where((row_idx > 0) & (j > 0),
-                                 prev_jm1 + 2 * dj, BIG)
-                up = jnp.where(row_idx > 0, prev_j + dj, BIG)
-                lf = jnp.where(j > 0, left + dj, BIG)
-                here = jnp.minimum(jnp.minimum(diag, up), lf)
-                here = jnp.where((row_idx == 0) & (j == 0), dj, here)
-                return here, here
-
-            prev_shift = jnp.concatenate([jnp.array([BIG]), prev[:-1]])
-            _, row = jax.lax.scan(
-                col_step, BIG, (row_d, prev, prev_shift, col_ids))
-            return (row, row_idx + 1), row
-
-        init = (jnp.full((M,), BIG), jnp.int32(0))
-        (_, _), rows = jax.lax.scan(row_step, init, d)
-        return rows[n - 1, m - 1]
-
-    def dtw_distance_tpu(a, b, n=None, m=None):
-        """symmetric2 normalized DTW of two (padded) sequences on device.
-
-        a: (N_pad, D), b: (M_pad, D); n, m give true lengths (default all).
+        Within a row, g[j] = min(c[j], g[j-1] + d[j]) with
+        c[j] = min(prev[j-1] + 2 d[j], prev[j] + d[j]); unrolling gives
+        g = S + cummin(c - S) where S is the prefix sum of d — so each
+        row is one shifted-min + one log-step cumulative min, and only
+        the row loop is sequential (N steps instead of N*M).
         """
+        N, M = d.shape
+        col = jnp.arange(M)
+        col_valid = col < m
+
+        def cummin(x):
+            shift = 1
+            while shift < M:
+                x = jnp.minimum(
+                    x, jnp.concatenate([jnp.full((shift,), BIG),
+                                        x[:-shift]]))
+                shift *= 2
+            return x
+
+        def row_step(carry, row):
+            prev, i = carry
+            dj = jnp.where(col_valid, row, BIG)
+            prev_shift = jnp.concatenate([jnp.array([BIG]), prev[:-1]])
+            c = jnp.where(
+                i == 0,
+                jnp.where(col == 0, dj, BIG),
+                jnp.minimum(prev_shift + 2 * dj, prev + dj))
+            s = jnp.cumsum(jnp.where(col_valid, row, 0.))
+            g = jnp.minimum(s + cummin(c - s), BIG)
+            g = jnp.where(col_valid, g, BIG)
+            return (g, i + 1), g[m - 1]
+
+        (_, _), last_col = jax.lax.scan(
+            row_step, (jnp.full((M,), BIG), jnp.int32(0)), d)
+        return last_col[n - 1]
+
+    def _row_scan_symmetricP2(d, n, m):
+        """Vectorized-row DP for the Sakoe-Chiba P=2 pattern.
+
+        Every step pattern consumes >= 1 row, so there is NO within-row
+        dependency: each row is pure shifted adds/mins over the previous
+        three g rows and two d rows. N sequential steps total.
+        """
+        N, M = d.shape
+        col = jnp.arange(M)
+        col_valid = col < m
+
+        def shift(x, k):
+            return jnp.concatenate([jnp.full((k,), BIG), x[:-k]]) \
+                if k > 0 else x
+
+        def shift0(x, k):  # shift with zero fill (for cost rows)
+            return jnp.concatenate([jnp.zeros((k,)), x[:-k]]) \
+                if k > 0 else x
+
+        def row_step(carry, row):
+            g1, g2, g3, d1, d2, i = carry
+            dj = jnp.where(col_valid, row, BIG)
+
+            diag = shift(g1, 1) + 2 * dj
+            p1 = jnp.where(
+                (i >= 2) & (col >= 3),
+                shift(g2, 3) + 2 * shift0(d1, 2) + 2 * shift0(dj, 1) + dj,
+                BIG)
+            p3 = jnp.where(
+                (i >= 3) & (col >= 2),
+                shift(g3, 2) + 2 * shift0(d2, 1) + d1 + dj,
+                BIG)
+            g = jnp.minimum(jnp.minimum(diag, p1), p3)
+            g = jnp.where((i == 0) & (col == 0), dj, g)
+            g = jnp.where(col_valid, jnp.minimum(g, BIG), BIG)
+            return (g, g1, g2, dj, d1, i + 1), g[m - 1]
+
+        init = (jnp.full((M,), BIG),) * 3 + (jnp.zeros((M,)),) * 2 \
+            + (jnp.int32(0),)
+        (_, _, _, _, _, _), last_col = jax.lax.scan(row_step, init, d)
+        return last_col[n - 1]
+
+    def _pairwise_cost(a, b):
+        sq = (jnp.sum(a * a, 1)[:, None] + jnp.sum(b * b, 1)[None, :]
+              - 2 * a @ b.T)
+        return jnp.sqrt(jnp.maximum(sq, 0))
+
+    def dtw_distance_matrix_fast(queries, q_lens, targets, t_lens,
+                                 step_pattern='symmetric2'):
+        """All-pairs normalized DTW, row-vectorized (fast TPU path).
+
+        queries: (Q, N_pad, D), targets: (T, M_pad, D); returns (Q, T).
+        Unreachable (slope-constrained) pairs return +inf.
+        """
+        dp = (_row_scan_symmetricP2 if step_pattern == 'symmetricP2'
+              else _row_scan_symmetric2)
+
+        def one(q, ql, t, tl):
+            d = _pairwise_cost(q, t)
+            cost = dp(d, ql, tl)
+            cost = jnp.where(cost >= BIG * 0.5, jnp.inf, cost)
+            return cost / (ql + tl)
+
+        over_t = jax.vmap(one, in_axes=(None, None, 0, 0))
+        over_qt = jax.vmap(over_t, in_axes=(0, 0, None, None))
+        return jax.jit(over_qt)(
+            jnp.asarray(queries, jnp.float32), jnp.asarray(q_lens),
+            jnp.asarray(targets, jnp.float32), jnp.asarray(t_lens))
+
+    def dtw_distance_matrix_tpu(queries, q_lens, targets, t_lens,
+                                step_pattern='symmetric2'):
+        """All-pairs normalized DTW on device (row-vectorized scan)."""
+        return dtw_distance_matrix_fast(queries, q_lens, targets, t_lens,
+                                        step_pattern)
+
+    def dtw_distance_tpu(a, b, n=None, m=None, step_pattern='symmetric2'):
+        """Normalized DTW of two (padded) sequences on device."""
         a = jnp.asarray(a, jnp.float32)
         b = jnp.asarray(b, jnp.float32)
         n = a.shape[0] if n is None else n
         m = b.shape[0] if m is None else m
-        sq = (jnp.sum(a * a, 1)[:, None] + jnp.sum(b * b, 1)[None, :]
-              - 2 * a @ b.T)
-        d = jnp.sqrt(jnp.maximum(sq, 0))
-        return _tpu_symmetric2(d, n, m) / (n + m)
-
-    def dtw_distance_matrix_tpu(queries, q_lens, targets, t_lens):
-        """All-pairs normalized symmetric2 DTW.
-
-        queries: (Q, N_pad, D), targets: (T, M_pad, D) with true lengths.
-        Returns (Q, T) distances. vmapped over both axes; jit-able.
-        """
-        fn = lambda q, ql, t, tl: dtw_distance_tpu(q, t, ql, tl)
-        over_t = jax.vmap(fn, in_axes=(None, None, 0, 0))
-        over_qt = jax.vmap(over_t, in_axes=(0, 0, None, None))
-        return over_qt(jnp.asarray(queries), jnp.asarray(q_lens),
-                       jnp.asarray(targets), jnp.asarray(t_lens))
+        return dtw_distance_matrix_fast(
+            a[None], jnp.array([n]), b[None], jnp.array([m]),
+            step_pattern)[0, 0]

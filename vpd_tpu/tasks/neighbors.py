@@ -67,11 +67,14 @@ class Neighbors:
         return self.distance_fn(x, self.X[i])
 
 
-def batch_distances_tpu(queries, targets, max_len=512):
-    """(Q, T) normalized symmetric2 DTW distances on device.
+def batch_distances_tpu(queries, targets, max_len=512,
+                        step_pattern='symmetricP2'):
+    """(Q, T) normalized DTW distances on device (row-vectorized scan).
 
     queries/targets: lists of (T_i, D) arrays. Sequences longer than
     max_len are truncated (retrieval sweeps; callers pick max_len).
+    Infeasible symmetricP2 pairs come back +inf (callers may re-run the
+    inf entries with 'symmetric2', mirroring the host fallback).
     """
     from ..ops.dtw import dtw_distance_matrix_tpu
 
@@ -87,7 +90,8 @@ def batch_distances_tpu(queries, targets, max_len=512):
 
     q, ql = pad(queries)
     t, tl = pad(targets)
-    return np.asarray(dtw_distance_matrix_tpu(q, ql, t, tl))
+    return np.asarray(dtw_distance_matrix_tpu(
+        q, ql, t, tl, step_pattern=step_pattern))
 
 
 def make_dtw_fns():

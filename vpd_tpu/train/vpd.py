@@ -79,7 +79,8 @@ def make_train_step(model, mean, std, img_dim=128, use_flow=False,
         def loss_fn(params):
             out, mutated = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
-                imgs, train=True, mutable=['batch_stats'])
+                imgs, train=True, mutable=['batch_stats'],
+                rngs={'dropout': jax.random.fold_in(aug_rng, 1)})
             # sum-reduction MSE (reference train_vpd_model.py:87)
             loss_sum = jnp.sum(jnp.square(out - batch['emb']))
             return loss_sum / out.shape[0], (loss_sum, mutated)

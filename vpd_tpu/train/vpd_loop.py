@@ -20,9 +20,15 @@ from .vpd import (MotionHead, VPDStudent, create_state, make_eval_step,
 
 def build_student(config, dtype=None):
     import jax.numpy as jnp
-    encoder = build_encoder(
-        config['encoder_arch'], config['emb_dim'],
-        dtype=dtype if dtype is not None else jnp.bfloat16)
+    dtype = dtype if dtype is not None else jnp.bfloat16
+    arch = config['encoder_arch']
+    if 'resnet' in arch:
+        encoder = build_encoder(arch, config['emb_dim'], dtype=dtype)
+    elif 'effnet' in arch:  # reference models/rgb.py:62-66
+        from ..models.efficientnet import build_effnet
+        encoder = build_effnet(arch, config['emb_dim'], dtype=dtype)
+    else:
+        raise NotImplementedError(arch)
     motion = MotionHead(config['emb_dim']) if config['motion'] else None
     return VPDStudent(encoder=encoder, motion=motion)
 
