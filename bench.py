@@ -43,7 +43,7 @@ def main():
 
     rng = np.random.default_rng(0)
     best = 0.0
-    for batch in (4096,):
+    for batch in (8192,):
         rgb_dev = jax.device_put(rng.integers(
             0, 255, (batch, 128, 128, 3), dtype=np.uint8))
 

@@ -104,6 +104,18 @@ def test_apply_vipe_writes_interchange_pickles(tmp_path):
         assert [e[0] for e in embs] == sorted(e[0] for e in embs)
 
 
+def test_render_previews(tmp_path):
+    trainer, _ = make_trainer(tmp_path, num_epochs=1)
+    trainer.save_config()
+    trainer.fit(log=lambda *a: None)
+    from vpd_tpu.geometry import human36m
+    trainer.render_previews(
+        trainer.train_batcher.samplers, [human36m.SPEC], epoch=1, count=1,
+        log=lambda *a: None)
+    out = tmp_path / 'model' / 'epoch0001.preview.mp4'
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_apply_vipe_no_flip_single_rows(tmp_path):
     trainer, _ = make_trainer(tmp_path, num_epochs=1)
     trainer.save_config()

@@ -160,6 +160,56 @@ class VIPETrainer:
                     epoch, train_m['loss'], train_m['contra'],
                     val_m['loss'], val_m['contra']))
 
+    def render_previews(self, samplers, specs, epoch, count=10,
+                        log=print):
+        """Write true-vs-predicted skeleton preview MP4s.
+
+        Parity with `train_vipe_model.py:63-100,396-411`: for each 3D
+        family, decode predicted features back to joint positions and
+        render front/side views alongside ground truth.
+        """
+        import jax.numpy as jnp
+
+        from ..geometry.render import render_3d_skeleton_views, \
+            save_video_preview
+
+        def frames():
+            for ds_id, (sampler, spec) in enumerate(zip(samplers, specs)):
+                if spec is None:
+                    continue
+                for i in range(min(count, len(sampler.sequences))):
+                    for data in sampler.get_sequence(i):
+                        norms = data['kp_offset_norms']
+                        norms = norms / np.max(norms)
+                        true3d = data['kp_offsets'] * norms[:, None]
+
+                        pose = data['pose'].reshape(1, -1)
+                        emb = self.model.apply(
+                            {'params': self.state.params,
+                             'batch_stats': self.state.batch_stats},
+                            jnp.asarray(pose), train=False,
+                            method='embed')
+                        pred = self.model.apply(
+                            {'params': self.state.params,
+                             'batch_stats': self.state.batch_stats},
+                            emb, jnp.array([ds_id]), train=False,
+                            method='decode')
+                        kp_dim = spec.num_edges * 7
+                        pred3d = np.asarray(pred)[0, :kp_dim].reshape(
+                            spec.num_edges, 7)[:, :3] * norms[:, None]
+                        yield render_3d_skeleton_views(
+                            [spec.decode_all_positions(true3d),
+                             spec.decode_all_positions(pred3d)],
+                            spec,
+                            '[{}] {} frame={}'.format(
+                                spec.name, data['key'], data['frame']),
+                            labels=['true', 'pred'])
+
+        out = os.path.join(self.save_dir,
+                           'epoch{:04d}.preview.mp4'.format(epoch))
+        save_video_preview(out, frames())
+        log('Saved video: {}'.format(out))
+
     def resume(self):
         """Restore state + loss history from the last epoch checkpoint."""
         last = ckpt.last_checkpoint_epoch(self.save_dir)
