@@ -24,7 +24,10 @@ def test_round_rules():
     assert round_repeats(3, 1.4) == 5
 
 
-def test_effnet_forward_and_train_mode():
+def test_effnet_forward_and_train_mode(monkeypatch):
+    # truncate the block table: full b0 takes minutes to compile on 1 CPU
+    import vpd_tpu.models.efficientnet as eff
+    monkeypatch.setattr(eff, 'BASE_BLOCKS', eff.BASE_BLOCKS[:3])
     model = build_effnet('effnet0', emb_dim=16, dtype=jnp.float32)
     x = jnp.zeros((2, 64, 64, 5))
     variables = model.init(jax.random.key(0), x)
@@ -38,7 +41,9 @@ def test_effnet_forward_and_train_mode():
     assert mutated['batch_stats']
 
 
-def test_effnet_student_trains(tmp_path):
+def test_effnet_student_trains(tmp_path, monkeypatch):
+    import vpd_tpu.models.efficientnet as eff
+    monkeypatch.setattr(eff, 'BASE_BLOCKS', eff.BASE_BLOCKS[:3])
     from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
 
     class _Src:

@@ -60,7 +60,7 @@ def test_pose_decoder_multihead_gather():
     assert not np.allclose(out[0], out[1])
 
 
-@pytest.mark.parametrize('arch', ['resnet18', 'resnet34', 'resnet50'])
+@pytest.mark.parametrize('arch', ['resnet18', 'resnet50'])
 def test_resnet_forward(arch):
     model = build_encoder(arch, emb_dim=64, dtype=jnp.float32)
     x = jnp.zeros((2, 64, 64, 3))
@@ -116,8 +116,11 @@ def test_expand_stem_to_5_channels():
 
 def test_wide_resnet_runs():
     model = build_encoder('wide_resnet50_2', emb_dim=8, dtype=jnp.float32)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
-    assert model.apply(variables, jnp.zeros((1, 32, 32, 3))).shape == (1, 8)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3))))
+    # width_per_group=128 doubles the bottleneck conv widths
+    k = variables['params']['Bottleneck_0']['Conv_1']['kernel']
+    assert k.shape[-1] == 128
     assert set(ENCODER_ARCH) == {
         'resnet18', 'resnet34', 'resnet50', 'resnet101',
         'wide_resnet50_2', 'wide_resnet101_2'}

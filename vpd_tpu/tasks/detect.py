@@ -179,7 +179,8 @@ def evaluate_proposals(results, test_video_ints, thresholds,
 def run_localization(dataset_name, emb_dict, train_examples, test_examples,
                      n_trials=1, algorithm='gru', k=1, hidden_dim=128,
                      batch_size=None, few_shot_videos_fn=None,
-                     n_examples=-1, log=print, **model_kwargs):
+                     n_examples=-1, out_dir=None, log=print,
+                     **model_kwargs):
     """Full protocol (`detect.py:291-435`). Returns list of AP tables."""
     test_video_ints = get_video_intervals(test_examples)
 
@@ -212,6 +213,20 @@ def run_localization(dataset_name, emb_dict, train_examples, test_examples,
             (video, model.predict(video))
             for video in sorted({l.video for l in test_examples
                                  if l.video in emb_dict})]
+        if out_dir:
+            # per-frame prediction scores (detect.py:345-352 parity,
+            # with the reference's NameError at :351 fixed)
+            import json
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            out_path = os.path.join(
+                out_dir, 'train{}_trial{}_{}_pred.json'.format(
+                    len(exp_train) if n_examples < 0 else n_examples,
+                    trial, algorithm))
+            with open(out_path, 'w') as fp:
+                json.dump({v: np.asarray(s).tolist()
+                           for v, s in results}, fp)
         aps = evaluate_proposals(results, test_video_ints, thresholds,
                                  min_prop_len, max_prop_len)
         log('Trial {}: max AP {:0.4f}'.format(trial, aps.max()))

@@ -73,6 +73,9 @@ class SeqModel:
                 print(e)
         return self.top_class, None
 
+    def save_model(self, out_path):
+        self.model.save(out_path)
+
 
 class KnnModel:
     """DTW k-NN recognizer (`recognize.py:125-184`)."""
@@ -202,6 +205,9 @@ def run_action_recognition(
                     'sequence', 'actual', 'actual_name',
                     'pred (acc={})'.format(acc), 'pred_name', 'neighbor'])
                 writer.writerows(results)
+            if hasattr(model, 'save_model') and algorithm in SEQ_MODELS:
+                model.save_model(os.path.join(
+                    out_dir, '{}.model.ckpt'.format(trial_str)))
         return acc
 
     accs = {}

@@ -120,7 +120,7 @@ def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
         dataset, emb_dict, train_labels, test_labels, n_trials=n_trials,
         algorithm=algorithm, k=k, hidden_dim=hidden_dim,
         batch_size=batch_size, few_shot_videos_fn=few_shot_videos,
-        n_examples=n_examples)
+        n_examples=n_examples, out_dir=out_dir)
 
     mean = np.mean(trial_results, axis=0)
     print('AP table (rows=thresholds {}, cols=tIoU {}):'.format(

@@ -213,3 +213,24 @@ class SeqModelTrainer:
         scores = np.mean([self.predict(x, full=True) for x in xs], axis=0)
         cls = int(np.argmax(scores))
         return cls, float(scores[cls])
+
+    # -- persistence (reference BaseSeqModel.save / load_weights) ----------
+
+    def save(self, out_path):
+        from flax import serialization
+
+        with open(out_path, 'wb') as fp:
+            fp.write(serialization.to_bytes(
+                {'params': jax.tree_util.tree_map(np.asarray, self.params),
+                 'batch_stats': jax.tree_util.tree_map(
+                     np.asarray, self.batch_stats)}))
+
+    def load(self, path):
+        from flax import serialization
+
+        with open(path, 'rb') as fp:
+            restored = serialization.from_bytes(
+                {'params': self.params, 'batch_stats': self.batch_stats},
+                fp.read())
+        self.params = restored['params']
+        self.batch_stats = restored['batch_stats']
