@@ -145,10 +145,7 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                                flip=not no_flip)
     rng = jax.random.key(0)
 
-    all_embs = [[] for _ in videos]
-    for i in range(0, len(tasks), batch_size):
-        chunk = tasks[i:i + batch_size]
-        n = len(chunk)
+    def decode_chunk(chunk):
         rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
         flow = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
         for j, (_, _, prefix) in enumerate(chunk):
@@ -157,10 +154,24 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                 flow[j] = crops_mod._imread_raw(
                     '{}.{}.png'.format(prefix, flow_img_name),
                     img_dim)[..., :3]
-        embs = np.asarray(embed(rgb, flow, rng))[:n]
-        for j, (video_id, frame_num, _) in enumerate(chunk):
-            row = embs[j] if embs.shape[1] > 1 else embs[j, 0]
-            all_embs[video_id].append((frame_num, row, {}))
+        return rgb, flow
+
+    # decode batch i+1 on a worker thread while the device embeds batch i
+    import concurrent.futures
+
+    chunks = [tasks[i:i + batch_size]
+              for i in range(0, len(tasks), batch_size)]
+    all_embs = [[] for _ in videos]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(decode_chunk, chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            rgb, flow = pending.result()
+            if ci + 1 < len(chunks):
+                pending = pool.submit(decode_chunk, chunks[ci + 1])
+            embs = np.asarray(embed(rgb, flow, rng))[:len(chunk)]
+            for j, (video_id, frame_num, _) in enumerate(chunk):
+                row = embs[j] if embs.shape[1] > 1 else embs[j, 0]
+                all_embs[video_id].append((frame_num, row, {}))
 
     os.makedirs(out_dir, exist_ok=True)
     written = 0
