@@ -150,8 +150,10 @@ if _HAS_JAX:
                 shift *= 2
             return x
 
+        end_onehot = (col == m - 1).astype(jnp.float32)
+
         def row_step(carry, row):
-            prev, i = carry
+            prev, final, i = carry
             dj = jnp.where(col_valid, row, BIG)
             prev_shift = jnp.concatenate([jnp.array([BIG]), prev[:-1]])
             c = jnp.where(
@@ -161,11 +163,16 @@ if _HAS_JAX:
             s = jnp.cumsum(jnp.where(col_valid, row, 0.))
             g = jnp.minimum(s + cummin(c - s), BIG)
             g = jnp.where(col_valid, g, BIG)
-            return (g, i + 1), g[m - 1]
+            # mask-reduce instead of a per-row lane gather of g[m-1]
+            final = jnp.where(i == n - 1,
+                              jnp.sum(jnp.minimum(g, BIG) * end_onehot),
+                              final)
+            return (g, final, i + 1), None
 
-        (_, _), last_col = jax.lax.scan(
-            row_step, (jnp.full((M,), BIG), jnp.int32(0)), d)
-        return last_col[n - 1]
+        (_, final, _), _ = jax.lax.scan(
+            row_step, (jnp.full((M,), BIG), jnp.float32(0), jnp.int32(0)),
+            d)
+        return final
 
     def _row_scan_symmetricP2(d, n, m):
         """Vectorized-row DP for the Sakoe-Chiba P=2 pattern.
@@ -186,8 +193,10 @@ if _HAS_JAX:
             return jnp.concatenate([jnp.zeros((k,)), x[:-k]]) \
                 if k > 0 else x
 
+        end_onehot = (col == m - 1).astype(jnp.float32)
+
         def row_step(carry, row):
-            g1, g2, g3, d1, d2, i = carry
+            g1, g2, g3, d1, d2, final, i = carry
             dj = jnp.where(col_valid, row, BIG)
 
             diag = shift(g1, 1) + 2 * dj
@@ -202,12 +211,13 @@ if _HAS_JAX:
             g = jnp.minimum(jnp.minimum(diag, p1), p3)
             g = jnp.where((i == 0) & (col == 0), dj, g)
             g = jnp.where(col_valid, jnp.minimum(g, BIG), BIG)
-            return (g, g1, g2, dj, d1, i + 1), g[m - 1]
+            final = jnp.where(i == n - 1, jnp.sum(g * end_onehot), final)
+            return (g, g1, g2, dj, d1, final, i + 1), None
 
         init = (jnp.full((M,), BIG),) * 3 + (jnp.zeros((M,)),) * 2 \
-            + (jnp.int32(0),)
-        (_, _, _, _, _, _), last_col = jax.lax.scan(row_step, init, d)
-        return last_col[n - 1]
+            + (jnp.float32(0), jnp.int32(0))
+        (_, _, _, _, _, final, _), _ = jax.lax.scan(row_step, init, d)
+        return final
 
     def _pairwise_cost(a, b):
         sq = (jnp.sum(a * a, 1)[:, None] + jnp.sum(b * b, 1)[None, :]
