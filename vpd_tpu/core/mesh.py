@@ -67,6 +67,26 @@ def pad_batch_to(batch, n, pad_mask_key=None):
     return out
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize cross-host jax.distributed; returns the global mesh.
+
+    On a multi-host slice the same train steps work unchanged: the mesh
+    spans all global devices and jit's collectives ride ICI within a
+    slice and DCN across slices. No-op on a single process.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return get_mesh()
+
+
+def is_primary():
+    """True on the checkpoint/IO-writing process."""
+    return jax.process_index() == 0
+
+
 def local_batch_size(global_batch_size, mesh=None):
     n = (mesh.size if mesh is not None
          else jax.device_count())
