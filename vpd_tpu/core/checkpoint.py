@@ -14,7 +14,6 @@ import jax
 import numpy as np
 from flax import serialization
 
-from .io import load_json, store_json  # noqa: F401 (manifest helpers)
 
 
 def _to_host(tree):

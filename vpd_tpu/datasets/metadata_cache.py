@@ -5,7 +5,6 @@ VideoMetadata`; a remapping Unpickler loads them into this framework's
 namedtuple so downstream runs work without the raw MP4s.
 """
 
-import io
 import os
 import pickle
 

@@ -4,9 +4,6 @@ Parity with reference `detect.py:179-236` (including the assert-guarded
 interpolated-precision construction) and `util/eval.py:5-23`.
 """
 
-import numpy as np
-
-
 def calc_iou(a1, a2, b1, b2):
     """Temporal IoU of [a1, a2] and [b1, b2] (`detect.py:179-182`)."""
     isect = min(a2, b2) - max(a1, b1)

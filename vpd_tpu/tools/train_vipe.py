@@ -6,8 +6,6 @@ Usage: python -m vpd_tpu.tools.train_vipe --dataset 3d --save_dir <dir>
 
 import argparse
 
-import numpy as np
-
 from ..data.vipe_sampler import (
     FAMILIES, FusedBatcher, PairwiseSampler, VIPESampler, load_3dpeople,
     load_amass, load_human36m, load_keyed, load_nba2k)

@@ -12,7 +12,6 @@ batch); lr/weight-decay arrive as traced scalars from the host schedule.
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

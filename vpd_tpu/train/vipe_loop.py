@@ -14,7 +14,6 @@ import numpy as np
 from ..core import checkpoint as ckpt
 from ..core.io import load_json, store_json
 from ..core.mesh import get_mesh, shard_batch
-from ..geometry.coco import pose_input_dim
 from ..models import FCPoseDecoder, FCResNet
 from .vipe import (VIPEModel, create_state, make_eval_step, make_train_step,
                    run_epoch)
