@@ -193,6 +193,13 @@ def test_run_action_retrieval():
     assert all(0 <= v <= 100 for v in hit_rates.values())
     assert hit_rates[3] >= hit_rates[1]
 
+    # the device sweep must reproduce the host protocol's metrics
+    dev_rates, dev_precs = run_action_retrieval(
+        embs, labels, [1, 3], device=True, log=lambda *a: None)
+    assert dev_rates == hit_rates
+    for h in precs:
+        np.testing.assert_allclose(dev_precs[h], precs[h], atol=1e-6)
+
 
 def test_sample_embeddings_per_class():
     embs, labels = _recognition_data(per_class=6)

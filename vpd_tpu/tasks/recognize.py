@@ -228,9 +228,15 @@ def run_action_recognition(
 
 
 def run_action_retrieval(emb_dict, label_dict, hit_t, queryset=None,
-                         log=print):
+                         device=False, device_max_len=128, log=print):
     """DTW leave-query retrieval; returns (hit@k, prec@k) dicts
-    (`recognize.py:580-649`)."""
+    (`recognize.py:580-649`).
+
+    With `device=True` the full query x target distance matrix is computed
+    by the batched TPU DTW (sequences truncated to `device_max_len`, which
+    the fps-subsampled action windows rarely exceed); the ranking protocol
+    is identical. Default is the exact host path.
+    """
     hit_t = sorted(hit_t)
 
     def get_embs(a):
@@ -240,8 +246,7 @@ def run_action_retrieval(emb_dict, label_dict, hit_t, queryset=None,
         return embs
 
     actions = sorted(emb_dict.keys())
-    neighbors = Neighbors([get_embs(a) for a in actions],
-                          build_dtw_distance_fn())
+    all_embs = [get_embs(a) for a in actions]
 
     hit_counts = defaultdict(int)
     hit_precs = defaultdict(list)
@@ -250,14 +255,40 @@ def run_action_retrieval(emb_dict, label_dict, hit_t, queryset=None,
         queries = [q for q in queries if q[1] in queryset]
 
     max_hit = max(hit_t) + 1
+
+    if device:
+        from .neighbors import batch_distances_tpu
+
+        valid_t = [i for i, e in enumerate(all_embs)
+                   if e is not None and e.shape[0] >= 1]
+        valid_q = [qi for qi, _ in queries
+                   if all_embs[qi] is not None]
+        dist = np.full((len(actions), len(actions)), np.inf, np.float32)
+        if valid_q and valid_t:
+            sub = batch_distances_tpu(
+                [all_embs[i] for i in valid_q],
+                [all_embs[i] for i in valid_t],
+                max_len=device_max_len)
+            for a, qi in enumerate(valid_q):
+                dist[qi, valid_t] = sub[a]
+
+        def find_neighbors(q_idx, embs_q, k):
+            order = np.argsort(dist[q_idx], kind='stable')[:k]
+            return [(int(r), float(dist[q_idx, r])) for r in order]
+    else:
+        neighbors = Neighbors(all_embs, build_dtw_distance_fn())
+
+        def find_neighbors(q_idx, embs_q, k):
+            return neighbors.find(embs_q, k, 1)
+
     for q_idx, q in queries:
         hit_at = None
         hits = []
-        embs_q = get_embs(q)
+        embs_q = all_embs[q_idx]
         if embs_q is not None:
             idx_ofs = 1  # +1 until we see the query itself
             for j, (r_idx, _) in enumerate(
-                    neighbors.find(embs_q, max_hit, 1)):
+                    find_neighbors(q_idx, embs_q, max_hit)):
                 if r_idx == q_idx:
                     idx_ofs = 0
                 elif label_dict[q] == label_dict[actions[r_idx]]:

@@ -40,6 +40,8 @@ def get_args():
     parser.add_argument('-vf', '--val_freq', type=int, default=10)
     parser.add_argument('-nt', '--n_trials', type=int, default=1)
     parser.add_argument('-ntf', '--no_test_flip', action='store_true')
+    parser.add_argument('--device_retrieval', action='store_true',
+                        help='Use the batched TPU DTW for retrieval')
     return parser.parse_args()
 
 
@@ -75,7 +77,7 @@ def load_diving48_data(emb_dir, norm, target_fps, use_v1):
 
 def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
          hidden_dim, attn, target_fps, num_epochs, val_freq, n_trials,
-         no_test_flip, retrieve):
+         no_test_flip, retrieve, device_retrieval=False):
     val_embs = val_labels = None
     if dataset.startswith('diving48'):
         (categories, train_embs, train_labels, test_embs,
@@ -121,7 +123,8 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
             'Specify -ne retrieval thresholds, e.g. "-ne 1 10 25 50"'
         run_action_retrieval(
             train_embs, train_labels, num_train_examples,
-            set(test_embs.keys()) if dataset == 'diving48' else None)
+            set(test_embs.keys()) if dataset == 'diving48' else None,
+            device=device_retrieval)
     else:
         if val_embs is None:
             val_embs, val_labels = test_embs, test_labels
