@@ -75,9 +75,17 @@ def _hsv_to_rgb(hsv):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode='clip')
-    g = jnp.choose(i, [t, v, v, q, p, p], mode='clip')
-    b = jnp.choose(i, [p, p, t, v, v, q], mode='clip')
+
+    def pick(options):
+        # explicit select chain; jnp.choose lowers to slow TPU gathers
+        out = options[5]
+        for sector in range(5):
+            out = jnp.where(i == sector, options[sector], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
