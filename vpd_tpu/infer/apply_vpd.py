@@ -136,7 +136,9 @@ def scan_tennis_crop_dir(video_dir, crop_dir):
 
 def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
               flow_img_name=None, jitter=0, no_flip=False,
-              batch_size=EXTRACT_BATCH, log=print):
+              batch_size=EXTRACT_BATCH, mesh=None, log=print):
+    """Extraction; pass a `Mesh` to shard batches across chips (inference
+    fan-out: sharded batch embed + host gather, SURVEY.md §2.8)."""
     model, variables, config = load_student_dir(model_dir, model_epoch)
     if config['use_flow']:
         assert flow_img_name, 'model uses flow; pass flow_img_name'
@@ -168,6 +170,10 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             rgb, flow = pending.result()
             if ci + 1 < len(chunks):
                 pending = pool.submit(decode_chunk, chunks[ci + 1])
+            if mesh is not None:
+                from ..core.mesh import shard_batch
+
+                rgb, flow = shard_batch((rgb, flow), mesh)
             embs = np.asarray(embed(rgb, flow, rng))[:len(chunk)]
             for j, (video_id, frame_num, _) in enumerate(chunk):
                 row = embs[j] if embs.shape[1] > 1 else embs[j, 0]

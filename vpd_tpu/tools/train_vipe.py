@@ -33,6 +33,7 @@ def get_args():
     parser.add_argument('--dataset', type=str, nargs='+')
     parser.add_argument('--save_dir', type=str, required=True)
     parser.add_argument('--checkpoint_frequency', type=int, default=25)
+    parser.add_argument('--render_preview_frequency', type=int, default=100)
     parser.add_argument('--num_epochs', type=int, default=500)
     parser.add_argument('--learning_rate', type=float, default=0.0001)
     parser.add_argument('--batch_size', type=int, default=100)
@@ -83,7 +84,7 @@ def build_samplers(names, embed_bones, augment_camera, seed):
 def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
          batch_size, embedding_dim, encoder_arch, decoder_arch, embed_bones,
          model_select_contrast, model_select_window, resume, no_camera_aug,
-         seed):
+         seed, render_preview_frequency=100):
     if dataset and 'all' in dataset:
         dataset = DATASETS
     elif dataset and '3d' in dataset:
@@ -112,7 +113,13 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         start_epoch = trainer.resume()
     else:
         trainer.save_config()
-    trainer.fit(start_epoch=start_epoch)
+
+    specs = [FAMILIES[n].spec if n in FAMILIES else None for n in dataset]
+    for epoch in range(start_epoch, num_epochs + 1):
+        trainer.train_one_epoch(epoch)
+        if render_preview_frequency and \
+                epoch % render_preview_frequency == 0:
+            trainer.render_previews(train_samplers, specs, epoch)
     print('Done!')
 
 

@@ -49,7 +49,7 @@ class SeqModelTrainer:
                  num_epochs=500, min_epochs=10, wr_count=10,
                  early_term_acc=1, X_val=None, y_val=None, val_freq=1,
                  early_term_val_num_epochs=200, learning_rate=0.001,
-                 seed=0, log=None, **kwargs):
+                 load_weights=None, seed=0, log=None, **kwargs):
         self.num_classes = int(np.unique(np.asarray(y)).shape[0])
         self.model = make_model(arch_type, self.num_classes, hidden_dim,
                                 **kwargs)
@@ -67,6 +67,11 @@ class SeqModelTrainer:
             jnp.zeros((1, max_len, Xp.shape[-1])), jnp.ones((1,), jnp.int32))
         self.params = variables['params']
         self.batch_stats = variables.get('batch_stats', {})
+
+        if load_weights is not None:  # pretrained head, skip training
+            self._logits = self._make_logits_fn()
+            self.load(load_weights)
+            return
 
         tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-8,
