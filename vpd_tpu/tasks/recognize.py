@@ -150,7 +150,8 @@ def run_action_recognition(
         categories, train_embs, train_labels, val_embs, val_labels,
         test_embs, test_labels, out_dir, algorithm, k, num_train_examples,
         few_shot_template, hidden_dim, attn, num_epochs, val_freq,
-        n_trials, no_test_flip, load_action_ids_fn=None, log=print):
+        n_trials, no_test_flip, load_action_ids_fn=None, load_weights=None,
+        log=print):
     """Few-shot evaluation protocol (`recognize.py:453-577`).
 
     Returns {ne: [trial accuracies]}.
@@ -167,6 +168,8 @@ def run_action_recognition(
                       'early_term_val_num_epochs': num_epochs // 3}
             if algorithm in ('gru', 'lstm'):
                 kwargs['use_attention'] = attn
+            if load_weights is not None:
+                kwargs['load_weights'] = load_weights
             return SeqModel(algorithm, embs, train_labels,
                             val_embs=val_embs, val_labels=val_labels,
                             **kwargs)

@@ -42,6 +42,8 @@ def get_args():
     parser.add_argument('-ntf', '--no_test_flip', action='store_true')
     parser.add_argument('--device_retrieval', action='store_true',
                         help='Use the batched TPU DTW for retrieval')
+    parser.add_argument('-w', '--load_weights', type=str,
+                        help='Load a pretrained head checkpoint')
     return parser.parse_args()
 
 
@@ -77,7 +79,8 @@ def load_diving48_data(emb_dir, norm, target_fps, use_v1):
 
 def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
          hidden_dim, attn, target_fps, num_epochs, val_freq, n_trials,
-         no_test_flip, retrieve, device_retrieval=False):
+         no_test_flip, retrieve, device_retrieval=False,
+         load_weights=None):
     val_embs = val_labels = None
     if dataset.startswith('diving48'):
         (categories, train_embs, train_labels, test_embs,
@@ -133,7 +136,8 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
             categories, train_embs, train_labels, val_embs, val_labels,
             test_embs, test_labels, out_dir, algorithm, k,
             num_train_examples, few_shot_file, hidden_dim, attn,
-            num_epochs, val_freq, n_trials, no_test_flip)
+            num_epochs, val_freq, n_trials, no_test_flip,
+            load_weights=load_weights)
 
 
 if __name__ == '__main__':

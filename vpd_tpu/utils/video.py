@@ -74,6 +74,26 @@ def cut_segment(video_file, video_meta, out_file, start, end, log=print):
         '-y', out_file])
 
 
+def cut_segment_cv2(video_file, video_meta, out_file, start, end,
+                    log=print):
+    """ffmpeg-free segment cut (reference util/video.py:65-81)."""
+    import cv2
+    log('Extracting using cv2: {}'.format(out_file))
+    vc = cv2.VideoCapture(video_file)
+    width = int(vc.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(vc.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    fps = vc.get(cv2.CAP_PROP_FPS)
+    vo = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*'mp4v'),
+                         fps, (width, height))
+    vc.set(cv2.CAP_PROP_POS_FRAMES, start)
+    for _ in range(end - start):
+        ret, frame = vc.read()
+        assert ret
+        vo.write(frame)
+    vc.release()
+    vo.release()
+
+
 def cut_frames(video_file, video_meta, out_dir, start, end,
                width=640, height=360, log=print):
     log('Extracting: {}'.format(out_dir))
