@@ -213,3 +213,36 @@ def test_motion_head_output_dims(tmp_path):
     with open(tmp_path / 'o' / 'video0.emb.pkl', 'rb') as fp:
         embs = pickle.load(fp)
     assert embs[0][1].shape == (emb_dim,)
+
+
+def test_vpd_resume(tmp_path):
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path)
+    train, val = train_val_split(samples)
+    def make():
+        src = CropBatchSource(train, crop_dir, IMG, batch_size=8,
+                              target_len=8)
+        val_src = CropBatchSource(val, crop_dir, IMG, batch_size=8,
+                                  target_len=8, augment=False)
+        config = default_config('tennis', emb_dim, num_epochs=2,
+                                batch_size=8, img_dim=IMG,
+                                encoder_arch='resnet18',
+                                checkpoint_frequency=1)
+        return VPDTrainer(src, val_src, config,
+                          save_dir=str(tmp_path / 'model'),
+                          dtype=jnp.float32)
+
+    t1 = make()
+    t1.save_config()
+    t1.train_one_epoch(1)
+    t1.save_model('epoch0001')
+
+    t2 = make()
+    start = t2.resume()
+    assert start == 2
+    # restored params equal the checkpointed ones
+    a = jax.tree_util.tree_leaves(t1.state.params['encoder'])
+    b = jax.tree_util.tree_leaves(t2.state.params['encoder'])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    t2.fit(start_epoch=start, log=lambda *a: None)
+    assert len(t2.losses) == 2

@@ -112,14 +112,44 @@ class VPDTrainer:
                 self.save_model('epoch{:04d}'.format(epoch))
         return train_loss, val_loss
 
-    def fit(self, log=print):
+    def fit(self, start_epoch=1, log=print):
         epoch = 0
-        for epoch in range(1, self.config['num_epochs'] + 1):
+        for epoch in range(start_epoch, self.config['num_epochs'] + 1):
             train_loss, val_loss = self.train_one_epoch(epoch)
             log('Epoch {} - train loss: {:0.4f} val loss: {:0.4f}'.format(
                 epoch, train_loss, val_loss))
         if self.save_dir and epoch:
             self.save_model('epoch{:04d}'.format(epoch))
+
+    def load_model(self, name):
+        loaded = ckpt.load_bundle(self.save_dir, name, self._components())
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params['encoder'] = loaded['encoder']['params']
+        if loaded['encoder']['batch_stats']:
+            stats['encoder'] = loaded['encoder']['batch_stats']
+        if 'decoder' in loaded:
+            params['motion'] = loaded['decoder']['params']
+            if loaded['decoder']['batch_stats']:
+                stats['motion'] = loaded['decoder']['batch_stats']
+        self.state = self.state.replace(params=params, batch_stats=stats)
+
+    def resume(self):
+        """Restore the last epoch checkpoint + loss history; returns the
+        next epoch (extends the reference, which only resumes the
+        teacher, train_vipe_model.py:202-209)."""
+        from ..core.io import load_json
+
+        last = ckpt.last_checkpoint_epoch(self.save_dir)
+        assert last >= 0, 'nothing to resume in {}'.format(self.save_dir)
+        self.load_model('epoch{:04d}'.format(last))
+        loss_file = os.path.join(self.save_dir, 'loss.json')
+        if os.path.exists(loss_file):
+            self.losses = [x for x in load_json(loss_file)
+                           if x['epoch'] <= last]
+            for rec in self.losses:
+                self.selector.update(rec['val'])
+        return last + 1
 
 
 def default_config(dataset, emb_dim, num_epochs=1000, batch_size=100,
