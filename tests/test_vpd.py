@@ -246,3 +246,36 @@ def test_vpd_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
     t2.fit(start_epoch=start, log=lambda *a: None)
     assert len(t2.losses) == 2
+
+
+def test_jittered_extraction_variants(tmp_path):
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path)
+    src = CropBatchSource(train_val_split(samples)[0], crop_dir, IMG,
+                          batch_size=8, target_len=8)
+    config = default_config('tennis', emb_dim, num_epochs=1, batch_size=8,
+                            img_dim=IMG, encoder_arch='resnet18',
+                            checkpoint_frequency=1)
+    trainer = VPDTrainer(src, None, config, save_dir=str(tmp_path / 'm'),
+                         dtype=jnp.float32)
+    trainer.save_config()
+    trainer.fit(log=lambda *a: None)
+
+    videos, tasks = scan_crop_dir(crop_dir)
+    apply_vpd(videos, tasks, str(tmp_path / 'm'), str(tmp_path / 'o'),
+              model_epoch=1, jitter=1, batch_size=8, log=lambda *a: None)
+    with open(tmp_path / 'o' / 'video0.emb.pkl', 'rb') as fp:
+        embs = pickle.load(fp)
+    # variants: orig, jitter, flip, flip-jitter
+    assert embs[0][1].shape == (4, emb_dim)
+
+
+def test_prefetched_source_adapter(tmp_path):
+    from vpd_tpu.data.crops import PrefetchedSource
+
+    samples, _, crop_dir = setup_dataset(tmp_path)
+    src = PrefetchedSource(CropBatchSource(
+        samples, crop_dir, IMG, batch_size=4, target_len=8))
+    assert src.num_batches == 2
+    b = src.next_batch()
+    assert b['rgb'].shape == (4, IMG, IMG, 3)
+    src.close()

@@ -209,6 +209,24 @@ class CropBatchSource:
         return out
 
 
+class PrefetchedSource:
+    """Batch-source adapter decoding ahead on a background thread."""
+
+    def __init__(self, source, depth=2):
+        self.source = source
+        self._prefetcher = Prefetcher(source, depth)
+
+    @property
+    def num_batches(self):
+        return self.source.num_batches
+
+    def next_batch(self):
+        return self._prefetcher.next()
+
+    def close(self):
+        self._prefetcher.close()
+
+
 class Prefetcher:
     """Double-buffered background batch producer (hides PNG decode)."""
 

@@ -4,7 +4,8 @@
 import argparse
 import os
 
-from ..data.crops import CropBatchSource, scan_emb_dir, train_val_split
+from ..data.crops import (CropBatchSource, PrefetchedSource, scan_emb_dir,
+                          train_val_split)
 from ..datasets.eval_splits import get_test_prefixes
 from ..train.vpd_loop import VPDTrainer, default_config
 from . import paths
@@ -75,11 +76,12 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
 
     crop_dir = CROP_DIRS[dataset]
     src_kwargs = {'flow_img_name': flow_img}
-    train_src = CropBatchSource(train, crop_dir, img_dim, batch_size,
-                                target_len=20000, seed=seed, **src_kwargs)
-    val_src = CropBatchSource(val, crop_dir, img_dim, batch_size,
-                              target_len=4000, augment=False,
-                              seed=seed + 1, **src_kwargs)
+    train_src = PrefetchedSource(CropBatchSource(
+        train, crop_dir, img_dim, batch_size, target_len=20000,
+        seed=seed, **src_kwargs))
+    val_src = PrefetchedSource(CropBatchSource(
+        val, crop_dir, img_dim, batch_size, target_len=4000,
+        augment=False, seed=seed + 1, **src_kwargs))
 
     config = default_config(
         dataset, emb_dim, num_epochs=num_epochs, batch_size=batch_size,
