@@ -43,21 +43,22 @@ def main():
 
     rng = np.random.default_rng(0)
     best = 0.0
-    for batch in (4096, 8192):
-        rgb_dev = jax.device_put(rng.integers(
+    depth = 4  # enqueue-ahead amortizes the relay round-trip
+    for batch in (8192,):
+        bufs = [jax.device_put(rng.integers(
             0, 255, (batch, 128, 128, 3), dtype=np.uint8))
+            for _ in range(depth)]
 
         # compile + warm (readback forces execution)
-        np.asarray(embed(params, batch_stats, rgb_dev))
+        np.asarray(embed(params, batch_stats, bufs[0]))
 
-        # the relay adds jittery per-dispatch latency; take the best of
-        # several samples per batch size
         times = []
-        for _ in range(8):
+        for _ in range(4):
             start = time.perf_counter()
-            out = np.asarray(embed(params, batch_stats, rgb_dev))
-            times.append(time.perf_counter() - start)
-        assert np.all(np.isfinite(out))
+            outs = [embed(params, batch_stats, b) for b in bufs]
+            res = [np.asarray(o) for o in outs]
+            times.append((time.perf_counter() - start) / depth)
+        assert all(np.all(np.isfinite(r)) for r in res)
         crops_per_sec = batch / min(times)
         best = max(best, crops_per_sec)
 

@@ -164,8 +164,19 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
     chunks = [tasks[i:i + batch_size]
               for i in range(0, len(tasks), batch_size)]
     all_embs = [[] for _ in videos]
+
+    def collect(chunk, dev_out):
+        embs = np.asarray(dev_out)[:len(chunk)]
+        for j, (video_id, frame_num, _) in enumerate(chunk):
+            row = embs[j] if embs.shape[1] > 1 else embs[j, 0]
+            all_embs[video_id].append((frame_num, row, {}))
+
+    # pipeline: decode ahead on a thread, keep one device batch in flight
+    # (the relay executes lazily; reading one batch behind amortizes the
+    # dispatch round-trip)
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         pending = pool.submit(decode_chunk, chunks[0]) if chunks else None
+        in_flight = None  # (chunk, device result)
         for ci, chunk in enumerate(chunks):
             rgb, flow = pending.result()
             if ci + 1 < len(chunks):
@@ -174,10 +185,12 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                 from ..core.mesh import shard_batch
 
                 rgb, flow = shard_batch((rgb, flow), mesh)
-            embs = np.asarray(embed(rgb, flow, rng))[:len(chunk)]
-            for j, (video_id, frame_num, _) in enumerate(chunk):
-                row = embs[j] if embs.shape[1] > 1 else embs[j, 0]
-                all_embs[video_id].append((frame_num, row, {}))
+            dev_out = embed(rgb, flow, rng)
+            if in_flight is not None:
+                collect(*in_flight)
+            in_flight = (chunk, dev_out)
+        if in_flight is not None:
+            collect(*in_flight)
 
     os.makedirs(out_dir, exist_ok=True)
     written = 0
