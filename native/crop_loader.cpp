@@ -1,0 +1,142 @@
+// Native threaded crop-batch decoder for the VPD student data path.
+//
+// TPU-native replacement for the reference's DataLoader worker *processes*
+// (train_vpd_model.py:205-212, apply_vpd_model.py:154-157): the host-side
+// hot loop there is per-sample PNG decode + resize. Here one ctypes call
+// decodes a whole uint8 batch (rgb crops, optional flow PNGs, optional
+// masks) with a libpng-based thread pool — the GIL is released for the
+// entire batch, so decode overlaps both the Python sampler and the device
+// step without forking workers.
+//
+// Byte-compat contract with vpd_tpu/data/crops.py:
+//   rgb   -> RGB channel order   (cv2.imread + BGR2RGB, crops.py _imread_rgb)
+//   flow  -> BGR channel order   (cv2.imread raw, crops.py _imread_raw;
+//            consumers read channels [0, 1] = (x, y) flow)
+//   mask  -> single gray channel (masks are written single-channel by
+//            extract_square_crops; missing masks zero-fill silently,
+//            matching the os.path.exists guard in crops.py)
+// Resize (when a source is not img_dim x img_dim) is bilinear with
+// half-pixel centers, cv2.INTER_LINEAR semantics (float math; cv2's
+// fixed-point rounding may differ by +/-1 LSB).
+
+#include <png.h>
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+bool decode_png(const char* path, png_uint_32 fmt, int channels,
+                int out_dim, uint8_t* out) {
+  png_image image;
+  memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) {
+    png_image_free(&image);
+    return false;
+  }
+  image.format = fmt;
+  const int w = static_cast<int>(image.width);
+  const int h = static_cast<int>(image.height);
+  std::vector<uint8_t> buf(static_cast<size_t>(w) * h * channels);
+  if (!png_image_finish_read(&image, nullptr, buf.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  if (w == out_dim && h == out_dim) {
+    memcpy(out, buf.data(), buf.size());
+    return true;
+  }
+  const float sx = static_cast<float>(w) / out_dim;
+  const float sy = static_cast<float>(h) / out_dim;
+  for (int y = 0; y < out_dim; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(floorf(fy));
+    float wy = fy - y0;
+    if (y0 < 0) { y0 = 0; wy = 0.f; }
+    if (y0 > h - 1) { y0 = h - 1; wy = 0.f; }
+    const int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    for (int x = 0; x < out_dim; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(floorf(fx));
+      float wx = fx - x0;
+      if (x0 < 0) { x0 = 0; wx = 0.f; }
+      if (x0 > w - 1) { x0 = w - 1; wx = 0.f; }
+      const int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      const uint8_t* p00 = &buf[(static_cast<size_t>(y0) * w + x0) * channels];
+      const uint8_t* p01 = &buf[(static_cast<size_t>(y0) * w + x1) * channels];
+      const uint8_t* p10 = &buf[(static_cast<size_t>(y1) * w + x0) * channels];
+      const uint8_t* p11 = &buf[(static_cast<size_t>(y1) * w + x1) * channels];
+      uint8_t* dst = &out[(static_cast<size_t>(y) * out_dim + x) * channels];
+      for (int c = 0; c < channels; ++c) {
+        const float v = (1.f - wy) * ((1.f - wx) * p00[c] + wx * p01[c]) +
+                        wy * ((1.f - wx) * p10[c] + wx * p11[c]);
+        dst[c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n (rgb[, flow][, mask]) PNG triples into caller-owned uint8
+// buffers of shape (n, img_dim, img_dim, {3, 3, 1}). Any of the three
+// path arrays (with its buffer) may be null. Returns the number of
+// required decodes that FAILED (rgb + flow; those rows are zero-filled).
+// Mask decode failures zero-fill silently and are not counted.
+int64_t vpd_decode_crops(const char* const* rgb_paths,
+                         const char* const* flow_paths,
+                         const char* const* mask_paths, int64_t n,
+                         int32_t img_dim, int32_t n_threads,
+                         uint8_t* rgb_out, uint8_t* flow_out,
+                         uint8_t* mask_out) {
+  const size_t rgb_sz = static_cast<size_t>(img_dim) * img_dim * 3;
+  const size_t mask_sz = static_cast<size_t>(img_dim) * img_dim;
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> failures(0);
+  auto work = [&]() {
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      if (rgb_paths && rgb_out) {
+        uint8_t* dst = rgb_out + i * rgb_sz;
+        if (!decode_png(rgb_paths[i], PNG_FORMAT_RGB, 3, img_dim, dst)) {
+          memset(dst, 0, rgb_sz);
+          failures.fetch_add(1);
+        }
+      }
+      if (flow_paths && flow_out) {
+        uint8_t* dst = flow_out + i * rgb_sz;
+        if (!decode_png(flow_paths[i], PNG_FORMAT_BGR, 3, img_dim, dst)) {
+          memset(dst, 0, rgb_sz);
+          failures.fetch_add(1);
+        }
+      }
+      if (mask_paths && mask_out) {
+        uint8_t* dst = mask_out + i * mask_sz;
+        if (!decode_png(mask_paths[i], PNG_FORMAT_GRAY, 1, img_dim, dst)) {
+          memset(dst, 0, mask_sz);
+        }
+      }
+    }
+  };
+  const int tn = n_threads > 0 ? n_threads : 1;
+  if (tn == 1 || n <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(tn);
+    for (int t = 0; t < tn; ++t) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+  }
+  return failures.load();
+}
+
+}  // extern "C"

@@ -148,7 +148,7 @@ class CropBatchSource:
 
     def __init__(self, samples, img_dir, img_dim, batch_size, *,
                  target_len=20000, flow_img_name=None, use_mask=True,
-                 augment=True, seed=0):
+                 augment=True, seed=0, use_native=None):
         assert samples, 'empty crop dataset'
         self.samples = samples
         self.img_dir = img_dir
@@ -159,6 +159,10 @@ class CropBatchSource:
         self.use_mask = use_mask
         self.augment = augment
         self.rng = np.random.default_rng(seed)
+        if use_native is None:  # auto: C++ threaded decoder when buildable
+            from . import native_loader
+            use_native = native_loader.available()
+        self.use_native = use_native
 
     @property
     def num_batches(self):
@@ -184,6 +188,7 @@ class CropBatchSource:
         mask = np.zeros((b, s, s), np.uint8) if self.use_mask else None
         embs = []
         flips = np.zeros(b, np.uint8)
+        batch_paths = []
         for i in range(b):
             video, player, frame, emb = self.samples[
                 self.rng.integers(len(self.samples))]
@@ -193,13 +198,25 @@ class CropBatchSource:
             elif flip:
                 flip = False  # no flipped target available
             flips[i] = flip
-            paths = self._paths(video, player, frame)
-            rgb[i] = _imread_rgb(paths['rgb'], s)
-            if flow is not None:
-                flow[i] = _imread_raw(paths['flow'], s)[..., :3]
-            if mask is not None and os.path.exists(paths.get('mask', '')):
-                mask[i] = _imread_raw(paths['mask'], s)[..., 0]
+            batch_paths.append(self._paths(video, player, frame))
             embs.append(emb)
+        if self.use_native:
+            from . import native_loader
+            native_loader.decode_crops(
+                [p['rgb'] for p in batch_paths], s,
+                flow_paths=([p['flow'] for p in batch_paths]
+                            if flow is not None else None),
+                mask_paths=([p['mask'] for p in batch_paths]
+                            if mask is not None else None),
+                rgb_out=rgb, flow_out=flow, mask_out=mask)
+        else:
+            for i, paths in enumerate(batch_paths):
+                rgb[i] = _imread_rgb(paths['rgb'], s)
+                if flow is not None:
+                    flow[i] = _imread_raw(paths['flow'], s)[..., :3]
+                if mask is not None and \
+                        os.path.exists(paths.get('mask', '')):
+                    mask[i] = _imread_raw(paths['mask'], s)[..., 0]
         out = {'rgb': rgb, 'emb': np.stack(embs).astype(np.float32),
                'flip': flips.astype(bool)}
         if flow is not None:

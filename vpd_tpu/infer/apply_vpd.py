@@ -147,9 +147,21 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                                flip=not no_flip)
     rng = jax.random.key(0)
 
+    from ..data import native_loader
+    use_native = native_loader.available()
+
     def decode_chunk(chunk):
         rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
         flow = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        if use_native:  # C++ thread-pool decode, one call per chunk
+            native_loader.decode_crops(
+                [prefix + '.png' for _, _, prefix in chunk], img_dim,
+                flow_paths=(['{}.{}.png'.format(prefix, flow_img_name)
+                             for _, _, prefix in chunk]
+                            if config['use_flow'] else None),
+                rgb_out=rgb[:len(chunk)],
+                flow_out=flow[:len(chunk)] if config['use_flow'] else None)
+            return rgb, flow
         for j, (_, _, prefix) in enumerate(chunk):
             rgb[j] = crops_mod._imread_rgb(prefix + '.png', img_dim)
             if config['use_flow']:
