@@ -2,9 +2,12 @@
 """Compute optical flow PNGs for crop directories (raft/flow.py parity).
 
 Walks crop dirs for ('<frame>.prev.png', '<frame>.png') pairs, estimates
-flow on device with the batched Lucas-Kanade pyramid, and writes
-'<frame>.<out_name>.png' in the reference's quantized format (clip +/-20,
-optional median subtraction). RAFT-generated PNGs are interchangeable.
+flow on device, and writes '<frame>.<out_name>.png' in the reference's
+quantized format (clip +/-20, optional median subtraction). Two TPU
+estimators: the batched Lucas-Kanade pyramid (default, no weights
+needed) or the Flax RAFT port (`--model raft --raft_weights <ckpt.pth>`,
+accepts official princeton-vl checkpoints; iters=20 as in
+raft/flow.py:111). Externally-generated RAFT PNGs remain interchangeable.
 """
 
 import argparse
@@ -26,7 +29,27 @@ def get_args():
     parser.add_argument('--batch_size', type=int, default=256)
     parser.add_argument('--overwrite', action='store_true')
     parser.add_argument('--subtract_median', action='store_true')
+    parser.add_argument('--model', choices=['lk', 'raft'], default='lk')
+    parser.add_argument('--raft_weights', type=str,
+                        help='torch RAFT checkpoint (.pth) for --model raft')
+    parser.add_argument('--raft_iters', type=int, default=20)
     return parser.parse_args()
+
+
+def build_flow_fn(model, raft_weights=None, raft_iters=20):
+    if model == 'lk':
+        return lucas_kanade_flow
+    from ..models.raft import RAFT, import_torch_raft, raft_flow_fn
+    if raft_weights:
+        from ..models.torch_compat import load_torch_state_dict
+        variables = import_torch_raft(load_torch_state_dict(raft_weights))
+    else:  # random init: only useful for smoke tests
+        import jax
+        import jax.numpy as jnp
+        m = RAFT()
+        z = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.key(0), z, z, iters=1)
+    return raft_flow_fn(variables, iters=raft_iters)
 
 
 def get_pairs(crop_dir, out_suffix, overwrite):
@@ -43,11 +66,13 @@ def get_pairs(crop_dir, out_suffix, overwrite):
 
 
 def main(path, out_name, clip, img_dim, batch_size, overwrite,
-         subtract_median_flag=False):
+         subtract_median_flag=False, model='lk', raft_weights=None,
+         raft_iters=20):
     sub_median = subtract_median_flag
     out_suffix = '.{}.png'.format(out_name)
     pairs = get_pairs(path, out_suffix, overwrite)
     print('{} frame pairs to process'.format(len(pairs)))
+    flow_fn = build_flow_fn(model, raft_weights, raft_iters)
 
     import cv2
     png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
@@ -60,7 +85,7 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
         for j, prefix in enumerate(chunk):
             prev[j] = _imread_rgb(prefix + '.prev.png', img_dim)
             curr[j] = _imread_rgb(prefix + '.png', img_dim)
-        flow = np.asarray(lucas_kanade_flow(prev, curr))[:n]
+        flow = np.asarray(flow_fn(prev, curr))[:n]
         for j, prefix in enumerate(chunk):
             fi = flow[j]
             if sub_median:
@@ -73,4 +98,5 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
 if __name__ == '__main__':
     a = get_args()
     main(a.path, a.out_name, a.clip, a.img_dim, a.batch_size, a.overwrite,
-         subtract_median_flag=a.subtract_median)
+         subtract_median_flag=a.subtract_median, model=a.model,
+         raft_weights=a.raft_weights, raft_iters=a.raft_iters)
