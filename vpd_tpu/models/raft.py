@@ -141,8 +141,12 @@ def corr_lookup(pyramid, coords, radius=4):
     b, h, w, _ = coords.shape
     flat = coords.reshape(b * h * w, 2)
     d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing='ij')
-    delta = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # (K, 2) as (x, y)
+    # official tap layout quirk: meshgrid(dy, dx) is added to (x, y)
+    # centroids, so the x-offset varies along the FIRST tap axis; the
+    # flattened tap index k = i*(2r+1)+j is x-offset-major. Checkpoint
+    # import (convc1 weights are per-tap) depends on this ordering.
+    dxg, dyg = jnp.meshgrid(d, d, indexing='ij')
+    delta = jnp.stack([dxg, dyg], axis=-1).reshape(-1, 2)  # (K, 2) (x, y)
     out = []
     for lvl, corr in enumerate(pyramid):
         centers = flat / (2. ** lvl)
