@@ -42,3 +42,49 @@ def test_lk_recovers_translation():
         np.median(inner[..., 0])
     assert abs(np.median(inner[..., 1]) - dy) < 1.0, \
         np.median(inner[..., 1])
+
+
+def test_quantize_flow_device_matches_host():
+    import jax.numpy as jnp
+
+    from vpd_tpu.ops.flow import (flow_to_img, quantize_flow_device,
+                                  subtract_median)
+
+    rng = np.random.default_rng(11)
+    flow = (rng.normal(scale=12., size=(3, 16, 16, 2))
+            .astype(np.float32))
+    dev = np.asarray(quantize_flow_device(jnp.asarray(flow), clip=20))
+    for i in range(flow.shape[0]):
+        host = flow_to_img(flow[i], clip=20)[..., :2]
+        # identical arithmetic; allow 1 LSB for fp association order
+        assert np.abs(dev[i].astype(int) - host.astype(int)).max() <= 1
+        assert (dev[i] == host).mean() > 0.99
+
+    devm = np.asarray(quantize_flow_device(
+        jnp.asarray(flow), clip=20, subtract_median=True))
+    for i in range(flow.shape[0]):
+        host = flow_to_img(subtract_median(flow[i]), clip=20)[..., :2]
+        assert np.abs(devm[i].astype(int) - host.astype(int)).max() <= 1
+
+
+def test_compute_flow_cli_pipelined_lk(tmp_path):
+    import cv2
+
+    from vpd_tpu.tools import compute_flow
+
+    vid = tmp_path / 'v'
+    vid.mkdir()
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    for frame in range(2, 7):
+        cv2.imwrite(str(vid / '{}.png'.format(frame)),
+                    np.roll(base, frame, axis=1))
+        cv2.imwrite(str(vid / '{}.prev.png'.format(frame)),
+                    np.roll(base, frame - 1, axis=1))
+    # batch_size 2 over 5 pairs exercises the decode/compute/write pipeline
+    compute_flow.main(str(tmp_path), 'flow', clip=20, img_dim=32,
+                      batch_size=2, overwrite=False,
+                      subtract_median_flag=True)
+    for frame in range(2, 7):
+        out = cv2.imread(str(vid / '{}.flow.png'.format(frame)))
+        assert out is not None and (out[..., 2] == 128).all()

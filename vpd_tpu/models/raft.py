@@ -38,6 +38,7 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str  # 'instance' | 'batch' | 'none'
     stride: int = 1
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -51,13 +52,15 @@ class ResidualBlock(nn.Module):
             return lambda v: v
 
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                    name='conv1')(x)
+                    dtype=self.dtype, name='conv1')(x)
         y = nn.relu(norm('norm1')(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, name='conv2')(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
+                    name='conv2')(y)
         y = nn.relu(norm('norm2')(y))
         if self.stride != 1:
             x = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                        padding=0, name='downsample_conv')(x)
+                        padding=0, dtype=self.dtype,
+                        name='downsample_conv')(x)
             x = norm('norm3')(x)
         return nn.relu(x + y)
 
@@ -66,10 +69,12 @@ class BasicEncoder(nn.Module):
     """fnet/cnet trunk: 7x7/2 stem + 3 residual stages -> 1x1 head (1/8)."""
     output_dim: int = 256
     norm_fn: str = 'instance'
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, name='conv1')(x)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
+                    name='conv1')(x)
         if self.norm_fn == 'batch':
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name='norm1')(x)
@@ -81,8 +86,10 @@ class BasicEncoder(nn.Module):
             for bi in range(2):
                 x = ResidualBlock(
                     planes, self.norm_fn, stride=stride if bi == 0 else 1,
+                    dtype=self.dtype,
                     name='layer{}_{}'.format(li, bi))(x, train=train)
-        return nn.Conv(self.output_dim, (1, 1), name='conv2')(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                       name='conv2')(x)
 
 
 def coords_grid(batch, ht, wd):
@@ -123,9 +130,10 @@ def corr_pyramid(fmap1, fmap2, num_levels=4):
     fmap1/fmap2 (B, H, W, C) -> [num_levels x (B*H*W, H/2^l, W/2^l)].
     """
     b, h, w, c = fmap1.shape
-    corr = jnp.einsum('bxyc,buvc->bxyuv', fmap1, fmap2) / jnp.sqrt(
-        jnp.asarray(c, fmap1.dtype))
-    corr = corr.reshape(b * h * w, h, w, 1).astype(jnp.float32)
+    corr = jnp.einsum('bxyc,buvc->bxyuv', fmap1, fmap2,
+                      preferred_element_type=jnp.float32) / jnp.sqrt(
+        jnp.asarray(c, jnp.float32))
+    corr = corr.reshape(b * h * w, h, w, 1)
     pyramid = [corr[..., 0]]
     for _ in range(num_levels - 1):
         corr = nn.avg_pool(corr, (2, 2), strides=(2, 2))
@@ -133,43 +141,68 @@ def corr_pyramid(fmap1, fmap2, num_levels=4):
     return pyramid
 
 
+def _tap_weights(centers, d, size):
+    """(N,) centers + (K,) offsets -> (N, K, size) bilinear hat weights.
+
+    The hat function max(0, 1 - |pos - u|) over integer source positions
+    u reproduces grid_sample(align_corners=True, padding_mode='zeros')
+    exactly: out-of-range taps fade to zero contribution.
+    """
+    pos = centers[:, None, None] + d[None, :, None]
+    idx = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    return jnp.maximum(0., 1. - jnp.abs(pos - idx))
+
+
 def corr_lookup(pyramid, coords, radius=4):
     """Sample (2r+1)^2 neighborhoods around coords at every pyramid level.
 
     coords (B, H, W, 2) at 1/8 resolution -> (B, H, W, levels*(2r+1)^2).
+
+    TPU-first: instead of per-tap bilinear gathers (scalar-gather bound),
+    the separable bilinear weights become two small batched matmuls per
+    level — x-interp then y-interp — which XLA maps onto the MXU.
+
+    Tap layout matches the official checkpoint quirk: meshgrid(dy, dx)
+    added to (x, y) centroids means the x-offset varies along the FIRST
+    tap axis, so the flattened tap index k = i*(2r+1)+j is
+    x-offset-major (convc1 weights are per-tap and depend on this).
     """
     b, h, w, _ = coords.shape
     flat = coords.reshape(b * h * w, 2)
     d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    # official tap layout quirk: meshgrid(dy, dx) is added to (x, y)
-    # centroids, so the x-offset varies along the FIRST tap axis; the
-    # flattened tap index k = i*(2r+1)+j is x-offset-major. Checkpoint
-    # import (convc1 weights are per-tap) depends on this ordering.
-    dxg, dyg = jnp.meshgrid(d, d, indexing='ij')
-    delta = jnp.stack([dxg, dyg], axis=-1).reshape(-1, 2)  # (K, 2) (x, y)
     out = []
     for lvl, corr in enumerate(pyramid):
-        centers = flat / (2. ** lvl)
-        sample_xy = centers[:, None, :] + delta[None]  # (BHW, K, 2)
-        vals = jax.vmap(_bilinear_sample)(corr, sample_xy)  # (BHW, K)
+        hl, wl = corr.shape[1], corr.shape[2]
+        wx = _tap_weights(flat[:, 0] / (2. ** lvl), d, wl)  # (N, K, wl)
+        wy = _tap_weights(flat[:, 1] / (2. ** lvl), d, hl)  # (N, K, hl)
+        tmp = jnp.einsum('nvu,niu->nvi', corr, wx)
+        vals = jnp.einsum('nvi,njv->nij', tmp, wy)  # (N, K, K) x-major
         out.append(vals.reshape(b, h, w, -1))
     return jnp.concatenate(out, axis=-1)
 
 
 class MotionEncoder(nn.Module):
+    dtype: type = jnp.float32
+
     @nn.compact
     def __call__(self, flow, corr):
-        c = nn.relu(nn.Conv(256, (1, 1), name='convc1')(corr))
-        c = nn.relu(nn.Conv(192, (3, 3), padding=1, name='convc2')(c))
-        f = nn.relu(nn.Conv(128, (7, 7), padding=3, name='convf1')(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=1, name='convf2')(f))
-        out = nn.relu(nn.Conv(126, (3, 3), padding=1, name='conv')(
+        dt = self.dtype
+        c = nn.relu(nn.Conv(256, (1, 1), dtype=dt, name='convc1')(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt,
+                            name='convc2')(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=dt,
+                            name='convf1')(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt,
+                            name='convf2')(f))
+        out = nn.relu(nn.Conv(126, (3, 3), padding=1, dtype=dt,
+                              name='conv')(
             jnp.concatenate([c, f], axis=-1)))
-        return jnp.concatenate([out, flow], axis=-1)  # 128 channels
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
 
 
 class SepConvGRU(nn.Module):
     hidden_dim: int = 128
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, h, x):
@@ -177,10 +210,13 @@ class SepConvGRU(nn.Module):
                                    ('2', (5, 1), ((2, 2), (0, 0)))):
             hx = jnp.concatenate([h, x], axis=-1)
             z = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
+                                   dtype=self.dtype,
                                    name='convz' + suffix)(hx))
             r = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
+                                   dtype=self.dtype,
                                    name='convr' + suffix)(hx))
             q = jnp.tanh(nn.Conv(self.hidden_dim, ksize, padding=pad,
+                                 dtype=self.dtype,
                                  name='convq' + suffix)(
                 jnp.concatenate([r * h, x], axis=-1)))
             h = (1 - z) * h + z * q
@@ -189,19 +225,23 @@ class SepConvGRU(nn.Module):
 
 class BasicUpdateBlock(nn.Module):
     hidden_dim: int = 128
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
-        motion = MotionEncoder(name='encoder')(flow, corr)
-        net = SepConvGRU(self.hidden_dim, name='gru')(
+        dt = self.dtype
+        motion = MotionEncoder(dtype=dt, name='encoder')(flow, corr)
+        net = SepConvGRU(self.hidden_dim, dtype=dt, name='gru')(
             net, jnp.concatenate([inp, motion], axis=-1))
-        d = nn.relu(nn.Conv(256, (3, 3), padding=1,
+        d = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
                             name='flow_head_conv1')(net))
-        delta = nn.Conv(2, (3, 3), padding=1, name='flow_head_conv2')(d)
-        m = nn.relu(nn.Conv(256, (3, 3), padding=1,
+        delta = nn.Conv(2, (3, 3), padding=1, dtype=dt,
+                        name='flow_head_conv2')(d)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
                             name='mask_conv1')(net))
-        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name='mask_conv2')(m)
-        return net, mask, delta
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=dt,
+                              name='mask_conv2')(m)
+        return net, mask.astype(jnp.float32), delta.astype(jnp.float32)
 
 
 def upsample_flow_convex(flow, mask):
@@ -222,22 +262,28 @@ def upsample_flow_convex(flow, mask):
 
 
 class RAFT(nn.Module):
-    """Basic RAFT. Call with 0-255 RGB (B, H, W, 3); H, W divisible by 8."""
+    """Basic RAFT. Call with 0-255 RGB (B, H, W, 3); H, W divisible by 8.
+
+    `dtype=jnp.bfloat16` runs every conv in bf16 (params stay f32; flow
+    updates, correlation accumulation and upsampling stay f32).
+    """
     hidden_dim: int = 128
     context_dim: int = 128
     corr_levels: int = 4
     corr_radius: int = 4
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, image1, image2, iters=12, train=False):
         im1 = 2. * (image1 / 255.) - 1.
         im2 = 2. * (image2 / 255.) - 1.
 
-        fnet = BasicEncoder(256, 'instance', name='fnet')
+        fnet = BasicEncoder(256, 'instance', dtype=self.dtype,
+                            name='fnet')
         fmap1 = fnet(im1, train=train)
         fmap2 = fnet(im2, train=train)
         cnet = BasicEncoder(self.hidden_dim + self.context_dim, 'batch',
-                            name='cnet')(im1, train=train)
+                            dtype=self.dtype, name='cnet')(im1, train=train)
         net = jnp.tanh(cnet[..., :self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim:])
 
@@ -252,7 +298,8 @@ class RAFT(nn.Module):
         coords0 = coords_grid(b, h, w)
         coords1 = coords0
 
-        update = BasicUpdateBlock(self.hidden_dim, name='update_block')
+        update = BasicUpdateBlock(self.hidden_dim, dtype=self.dtype,
+                                  name='update_block')
         predictions = []
         for _ in range(iters):
             corr = corr_lookup(pyramid, coords1, self.corr_radius)

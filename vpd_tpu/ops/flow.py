@@ -35,6 +35,33 @@ def subtract_median(flow):
     return flow - np.median(flow, axis=(0, 1))
 
 
+def quantize_flow_device(flow, clip=20, subtract_median=False):
+    """On-device flow_to_img quantization (minus the constant channel).
+
+    (B, H, W, 2) float flow -> (B, H, W, 2) uint8, same arithmetic as
+    `flow_to_img` (`raft/flow.py:80-93` incl. optional per-image median
+    subtraction). Quantizing before the device->host readback cuts the
+    transfer 4x; the host only appends the constant-128 channel and
+    PNG-encodes.
+    """
+    flow = flow.astype(jnp.float32)
+    if subtract_median:
+        flow = flow - jnp.median(flow, axis=(1, 2), keepdims=True)
+    q = jnp.clip(flow, -clip, clip) + clip
+    return (q * (255. / (2 * clip + 1))).astype(jnp.uint8)
+
+
+def make_quantized_flow_fn(flow_fn, clip=20, subtract_median=False):
+    """Fuse a (prev_u8, curr_u8) -> float-flow estimator with the PNG
+    quantization into one jit, returning uint8 (B, H, W, 2) payloads."""
+    @jax.jit
+    def fn(prev_u8, curr_u8):
+        return quantize_flow_device(flow_fn(prev_u8, curr_u8),
+                                    clip=clip,
+                                    subtract_median=subtract_median)
+    return fn
+
+
 def _gray(img):
     """(B, H, W, 3) [0,1] -> (B, H, W) luminance."""
     return (0.299 * img[..., 0] + 0.587 * img[..., 1]

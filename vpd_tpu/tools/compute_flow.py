@@ -68,30 +68,70 @@ def get_pairs(crop_dir, out_suffix, overwrite):
 def main(path, out_name, clip, img_dim, batch_size, overwrite,
          subtract_median_flag=False, model='lk', raft_weights=None,
          raft_iters=20):
+    """Pipelined: decode chunk i+1 on a worker thread and PNG-write chunk
+    i-1 while the device computes chunk i; flow is quantized to uint8 ON
+    DEVICE (ops/flow.py quantize_flow_device), cutting readback 4x —
+    readback, not compute, dominates RAFT through the relay."""
+    from ..ops.flow import make_quantized_flow_fn
+
     sub_median = subtract_median_flag
     out_suffix = '.{}.png'.format(out_name)
     pairs = get_pairs(path, out_suffix, overwrite)
     print('{} frame pairs to process'.format(len(pairs)))
-    flow_fn = build_flow_fn(model, raft_weights, raft_iters)
+    qfn = make_quantized_flow_fn(
+        build_flow_fn(model, raft_weights, raft_iters), clip=clip,
+        subtract_median=sub_median)
 
     import cv2
     png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
 
-    for i in range(0, len(pairs), batch_size):
-        chunk = pairs[i:i + batch_size]
-        n = len(chunk)
+    from ..data import native_loader
+    use_native = native_loader.available()
+
+    def decode_chunk(chunk):
         prev = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
         curr = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        if use_native:
+            native_loader.decode_crops(
+                [p + '.prev.png' for p in chunk], img_dim,
+                rgb_out=prev[:len(chunk)])
+            native_loader.decode_crops(
+                [p + '.png' for p in chunk], img_dim,
+                rgb_out=curr[:len(chunk)])
+        else:
+            for j, prefix in enumerate(chunk):
+                prev[j] = _imread_rgb(prefix + '.prev.png', img_dim)
+                curr[j] = _imread_rgb(prefix + '.png', img_dim)
+        return prev, curr
+
+    def write_chunk(chunk, dev_out):
+        q = np.asarray(dev_out)[:len(chunk)]  # (n, H, W, 2) uint8
+        third = np.full(q.shape[1:3] + (1,), 128, np.uint8)
         for j, prefix in enumerate(chunk):
-            prev[j] = _imread_rgb(prefix + '.prev.png', img_dim)
-            curr[j] = _imread_rgb(prefix + '.png', img_dim)
-        flow = np.asarray(flow_fn(prev, curr))[:n]
-        for j, prefix in enumerate(chunk):
-            fi = flow[j]
-            if sub_median:
-                fi = subtract_median(fi)
-            cv2.imwrite(prefix + out_suffix, flow_to_img(fi, clip),
+            cv2.imwrite(prefix + out_suffix,
+                        np.concatenate([q[j], third], axis=-1),
                         png_compression)
+
+    import concurrent.futures
+
+    chunks = [pairs[i:i + batch_size]
+              for i in range(0, len(pairs), batch_size)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        pending = pool.submit(decode_chunk, chunks[0]) if chunks else None
+        in_flight = None  # (chunk, device result)
+        writes = []
+        for ci, chunk in enumerate(chunks):
+            prev, curr = pending.result()
+            if ci + 1 < len(chunks):
+                pending = pool.submit(decode_chunk, chunks[ci + 1])
+            dev_out = qfn(prev, curr)
+            if in_flight is not None:
+                writes.append(pool.submit(write_chunk, *in_flight))
+            in_flight = (chunk, dev_out)
+        if in_flight is not None:
+            write_chunk(*in_flight)
+        for fut in writes:
+            fut.result()
     print('Done!')
 
 
