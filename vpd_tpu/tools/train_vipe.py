@@ -6,6 +6,8 @@ Usage: python -m vpd_tpu.tools.train_vipe --dataset 3d --save_dir <dir>
 
 import argparse
 
+import numpy as np
+
 from ..data.vipe_sampler import (
     FAMILIES, FusedBatcher, PairwiseSampler, VIPESampler, load_3dpeople,
     load_amass, load_human36m, load_keyed, load_nba2k)
@@ -47,6 +49,9 @@ def get_args():
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--no_camera_aug', action='store_true')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--num_workers', type=int, default=0,
+                        help='sampler worker processes '
+                             '(reference DataLoader num_workers)')
     return parser.parse_args()
 
 
@@ -84,7 +89,7 @@ def build_samplers(names, embed_bones, augment_camera, seed):
 def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
          batch_size, embedding_dim, encoder_arch, decoder_arch, embed_bones,
          model_select_contrast, model_select_window, resume, no_camera_aug,
-         seed, render_preview_frequency=100):
+         seed, render_preview_frequency=100, num_workers=0):
     if dataset and 'all' in dataset:
         dataset = DATASETS
     elif dataset and '3d' in dataset:
@@ -95,6 +100,30 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         dataset, embed_bones, not no_camera_aug, seed)
     train_b = FusedBatcher(train_samplers, batch_size)
     val_b = FusedBatcher(val_samplers, batch_size)
+    if num_workers > 0:
+        # fork one FusedBatcher per worker; the pose data is shared
+        # copy-on-write, only the RNG streams differ per worker
+        import copy
+
+        from ..data.parallel_batcher import MultiprocessBatcher
+
+        def make_batcher(samplers):
+            def make(wid):
+                clones = []
+                for si, smp in enumerate(samplers):
+                    c = copy.copy(smp)
+                    c.rng = np.random.default_rng(
+                        seed + 7919 * (wid + 1) + si)
+                    clones.append(c)
+                return FusedBatcher(clones, batch_size)
+            return make
+
+        train_b = MultiprocessBatcher(
+            make_batcher(train_samplers), num_workers,
+            train_b.num_batches, template=train_b)
+        val_b = MultiprocessBatcher(
+            make_batcher(val_samplers), max(1, num_workers // 2),
+            val_b.num_batches, template=val_b)
 
     config = default_config(
         dataset, shapes, norms, num_epochs=num_epochs,

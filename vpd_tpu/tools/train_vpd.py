@@ -44,6 +44,9 @@ def get_args():
     parser.add_argument('--min_pose_score', type=float)
     parser.add_argument('--emb_dir', type=str)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--num_workers', type=int, default=0,
+                        help='decode/sample worker processes '
+                             '(reference DataLoader num_workers)')
     return parser.parse_args()
 
 
@@ -64,7 +67,7 @@ def get_exclude_prefixes(dataset):
 def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          learning_rate, img_dim, flow_img, motion, encoder_arch,
          model_select_window, pretrained, no_test_video, min_pose_score,
-         emb_dir, seed):
+         emb_dir, seed, num_workers=0):
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
     exclude = get_exclude_prefixes(dataset) if no_test_video else None
@@ -76,12 +79,32 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
 
     crop_dir = CROP_DIRS[dataset]
     src_kwargs = {'flow_img_name': flow_img}
-    train_src = PrefetchedSource(CropBatchSource(
-        train, crop_dir, img_dim, batch_size, target_len=20000,
-        seed=seed, **src_kwargs))
-    val_src = PrefetchedSource(CropBatchSource(
-        val, crop_dir, img_dim, batch_size, target_len=4000,
-        augment=False, seed=seed + 1, **src_kwargs))
+    if num_workers > 0:
+        from ..data.parallel_batcher import MultiprocessBatcher
+
+        def make_train(wid):
+            return CropBatchSource(
+                train, crop_dir, img_dim, batch_size, target_len=20000,
+                seed=seed + 1000 * (wid + 1), **src_kwargs)
+
+        def make_val(wid):
+            return CropBatchSource(
+                val, crop_dir, img_dim, batch_size, target_len=4000,
+                augment=False, seed=seed + 1 + 1000 * (wid + 1),
+                **src_kwargs)
+
+        train_src = MultiprocessBatcher(
+            make_train, num_workers, max(1, 20000 // batch_size))
+        val_src = MultiprocessBatcher(
+            make_val, max(1, num_workers // 2),
+            max(1, 4000 // batch_size))
+    else:
+        train_src = PrefetchedSource(CropBatchSource(
+            train, crop_dir, img_dim, batch_size, target_len=20000,
+            seed=seed, **src_kwargs))
+        val_src = PrefetchedSource(CropBatchSource(
+            val, crop_dir, img_dim, batch_size, target_len=4000,
+            augment=False, seed=seed + 1, **src_kwargs))
 
     config = default_config(
         dataset, emb_dim, num_epochs=num_epochs, batch_size=batch_size,
