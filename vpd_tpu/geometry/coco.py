@@ -35,6 +35,8 @@ NUM_COCO_BONES = len(COCO_BONES)
 # The 6 unordered torso point pairs, for a vectorized max pairwise distance.
 _TORSO_PAIRS = [(a, b) for i, a in enumerate(COCO_TORSO_POINTS)
                 for b in COCO_TORSO_POINTS[i + 1:]]
+_TP_A = np.array([0, 0, 0, 1, 1, 2])
+_TP_B = np.array([1, 2, 3, 2, 3, 3])
 
 
 def pose_input_dim(embed_bones):
@@ -56,9 +58,8 @@ def normalize_2d_skeleton(kp, flip, zero_confs=False,
     kp[:, :2] -= (kp[11, :2] + kp[12, :2]) / 2
 
     torso = kp[COCO_TORSO_POINTS, :2]
-    max_torso_dist = max(
-        float(np.linalg.norm(torso[i] - torso[j]))
-        for i, j in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+    diffs = torso[_TP_A] - torso[_TP_B]
+    max_torso_dist = float(np.sqrt((diffs * diffs).sum(-1)).max())
     if max_torso_dist == 0:
         max_torso_dist = 1
     kp[:, :2] *= 0.5 / max_torso_dist
