@@ -112,3 +112,25 @@ def test_train_vipe_cli_with_workers(tmp_path, monkeypatch):
         no_camera_aug=False, seed=0, num_workers=2)
     files = os.listdir(save_dir)
     assert 'config.json' in files and 'loss.json' in files
+
+
+class _FailingSource:
+    def __init__(self, wid):
+        self.wid = wid
+        self.n = 0
+
+    def next_batch(self):
+        self.n += 1
+        if self.wid == 1 and self.n == 2:
+            raise IOError('corrupt PNG')
+        return {'wid': np.int32(self.wid)}
+
+
+def test_worker_exception_propagates():
+    with MultiprocessBatcher(_FailingSource, 2, num_batches=8,
+                             depth=1) as mb:
+        mb.next_batch()  # w0 batch1
+        mb.next_batch()  # w1 batch1
+        with pytest.raises(RuntimeError, match='corrupt PNG'):
+            for _ in range(6):
+                mb.next_batch()

@@ -56,6 +56,42 @@ def _imread_raw(path, img_dim):
     return img if img.ndim == 3 else img[..., None]
 
 
+def decode_crop_batch(rgb_paths, img_dim, *, flow_paths=None,
+                      mask_paths=None, rgb_out=None, flow_out=None,
+                      mask_out=None, use_native=None):
+    """Batch PNG decode with a single native-vs-host chokepoint.
+
+    Uses the C++ thread-pool decoder (native_loader) when buildable,
+    else the per-image cv2/PIL path; byte-identical either way. `*_out`
+    arrays, when given, are filled in place (rows past len(paths) are
+    left untouched). Missing masks zero-fill; missing rgb/flow raise.
+    """
+    n = len(rgb_paths)
+    if rgb_out is None:
+        rgb_out = np.zeros((n, img_dim, img_dim, 3), np.uint8)
+    if flow_paths is not None and flow_out is None:
+        flow_out = np.zeros((n, img_dim, img_dim, 3), np.uint8)
+    if mask_paths is not None and mask_out is None:
+        mask_out = np.zeros((n, img_dim, img_dim), np.uint8)
+    from . import native_loader
+    if use_native is None:
+        use_native = native_loader.available()
+    if use_native:
+        native_loader.decode_crops(
+            rgb_paths, img_dim, flow_paths=flow_paths,
+            mask_paths=mask_paths, rgb_out=rgb_out[:n],
+            flow_out=flow_out[:n] if flow_paths is not None else None,
+            mask_out=mask_out[:n] if mask_paths is not None else None)
+    else:
+        for i in range(n):
+            rgb_out[i] = _imread_rgb(rgb_paths[i], img_dim)
+            if flow_paths is not None:
+                flow_out[i] = _imread_raw(flow_paths[i], img_dim)[..., :3]
+            if mask_paths is not None and os.path.exists(mask_paths[i]):
+                mask_out[i] = _imread_raw(mask_paths[i], img_dim)[..., 0]
+    return rgb_out, flow_out, mask_out
+
+
 def get_pose_score(meta, default=None):
     for key in ('dp_score', 'kp_score'):
         if meta.get(key) is not None:
@@ -200,23 +236,14 @@ class CropBatchSource:
             flips[i] = flip
             batch_paths.append(self._paths(video, player, frame))
             embs.append(emb)
-        if self.use_native:
-            from . import native_loader
-            native_loader.decode_crops(
-                [p['rgb'] for p in batch_paths], s,
-                flow_paths=([p['flow'] for p in batch_paths]
-                            if flow is not None else None),
-                mask_paths=([p['mask'] for p in batch_paths]
-                            if mask is not None else None),
-                rgb_out=rgb, flow_out=flow, mask_out=mask)
-        else:
-            for i, paths in enumerate(batch_paths):
-                rgb[i] = _imread_rgb(paths['rgb'], s)
-                if flow is not None:
-                    flow[i] = _imread_raw(paths['flow'], s)[..., :3]
-                if mask is not None and \
-                        os.path.exists(paths.get('mask', '')):
-                    mask[i] = _imread_raw(paths['mask'], s)[..., 0]
+        decode_crop_batch(
+            [p['rgb'] for p in batch_paths], s,
+            flow_paths=([p['flow'] for p in batch_paths]
+                        if flow is not None else None),
+            mask_paths=([p['mask'] for p in batch_paths]
+                        if mask is not None else None),
+            rgb_out=rgb, flow_out=flow, mask_out=mask,
+            use_native=self.use_native)
         out = {'rgb': rgb, 'emb': np.stack(embs).astype(np.float32),
                'flip': flips.astype(bool)}
         if flow is not None:

@@ -26,9 +26,9 @@ _lib_failed = False
 
 
 def _build():
-    subprocess.check_call([
-        'g++', '-O3', '-march=native', '-shared', '-fPIC',
-        '-o', _LIB_PATH, _SRC, '-lpng', '-lz', '-pthread'])
+    from ..ops.dtw_native import build_locked
+    build_locked(_SRC, _LIB_PATH,
+                 extra_flags=['-lpng', '-lz', '-pthread'])
 
 
 def get_lib():

@@ -15,15 +15,24 @@ like the reference's workers.
 """
 
 import multiprocessing as mp
+import queue as queue_mod
+import traceback
+
+_ERROR = '__vpd_worker_error__'
 
 
 def _worker_loop(make_source, worker_id, queue):
-    source = make_source(worker_id)
     try:
+        source = make_source(worker_id)
         while True:
             queue.put(source.next_batch())
     except (KeyboardInterrupt, BrokenPipeError, EOFError):
         pass
+    except Exception:  # surface the failure instead of hanging the parent
+        try:
+            queue.put((_ERROR, traceback.format_exc()))
+        except Exception:
+            pass
 
 
 class MultiprocessBatcher:
@@ -61,9 +70,22 @@ class MultiprocessBatcher:
     def next_batch(self):
         if self._inline is not None:
             return self._inline.next_batch()
-        q = self._queues[self._next % len(self._queues)]
+        idx = self._next % len(self._queues)
         self._next += 1
-        return q.get()
+        q, p = self._queues[idx], self._procs[idx]
+        while True:
+            try:
+                item = q.get(timeout=5)
+                break
+            except queue_mod.Empty:
+                if not p.is_alive():  # hard death (signal/OOM)
+                    raise RuntimeError(
+                        'batch worker {} died (exit code {})'.format(
+                            idx, p.exitcode))
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == _ERROR:
+            raise RuntimeError(
+                'batch worker {} failed:\n{}'.format(idx, item[1]))
+        return item
 
     def close(self):
         for p in self._procs:

@@ -32,11 +32,11 @@ COCO_BONES = [x for x in _COCO_BONES_ORIG
               if x[0] in COCO_POINT_IDXS and x[1] in COCO_POINT_IDXS]
 NUM_COCO_BONES = len(COCO_BONES)
 
-# The 6 unordered torso point pairs, for a vectorized max pairwise distance.
-_TORSO_PAIRS = [(a, b) for i, a in enumerate(COCO_TORSO_POINTS)
-                for b in COCO_TORSO_POINTS[i + 1:]]
-_TP_A = np.array([0, 0, 0, 1, 1, 2])
-_TP_B = np.array([1, 2, 3, 2, 3, 3])
+# The 6 unordered torso pair index arrays (into the torso subset), for a
+# vectorized max pairwise distance.
+_TP_A, _TP_B = (np.array(idx) for idx in zip(
+    *[(i, j) for i in range(len(COCO_TORSO_POINTS))
+      for j in range(i + 1, len(COCO_TORSO_POINTS))]))
 
 
 def pose_input_dim(embed_bones):

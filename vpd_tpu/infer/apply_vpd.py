@@ -22,6 +22,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core.io import load_json, store_pickle
+from ..core.pipeline import run_pipelined
 from ..data import crops as crops_mod
 from ..data.augment import color_jitter, eval_transform_batch, flip_batch
 from ..train.vpd_loop import build_student
@@ -147,35 +148,28 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                                flip=not no_flip)
     rng = jax.random.key(0)
 
-    from ..data import native_loader
-    use_native = native_loader.available()
-
     def decode_chunk(chunk):
         rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
         flow = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
-        if use_native:  # C++ thread-pool decode, one call per chunk
-            native_loader.decode_crops(
-                [prefix + '.png' for _, _, prefix in chunk], img_dim,
-                flow_paths=(['{}.{}.png'.format(prefix, flow_img_name)
-                             for _, _, prefix in chunk]
-                            if config['use_flow'] else None),
-                rgb_out=rgb[:len(chunk)],
-                flow_out=flow[:len(chunk)] if config['use_flow'] else None)
-            return rgb, flow
-        for j, (_, _, prefix) in enumerate(chunk):
-            rgb[j] = crops_mod._imread_rgb(prefix + '.png', img_dim)
-            if config['use_flow']:
-                flow[j] = crops_mod._imread_raw(
-                    '{}.{}.png'.format(prefix, flow_img_name),
-                    img_dim)[..., :3]
+        crops_mod.decode_crop_batch(
+            [prefix + '.png' for _, _, prefix in chunk], img_dim,
+            flow_paths=(['{}.{}.png'.format(prefix, flow_img_name)
+                         for _, _, prefix in chunk]
+                        if config['use_flow'] else None),
+            rgb_out=rgb, flow_out=flow if config['use_flow'] else None)
         return rgb, flow
-
-    # decode batch i+1 on a worker thread while the device embeds batch i
-    import concurrent.futures
 
     chunks = [tasks[i:i + batch_size]
               for i in range(0, len(tasks), batch_size)]
     all_embs = [[] for _ in videos]
+
+    def compute(host):
+        rgb, flow = host
+        if mesh is not None:
+            from ..core.mesh import shard_batch
+
+            rgb, flow = shard_batch((rgb, flow), mesh)
+        return embed(rgb, flow, rng)
 
     def collect(chunk, dev_out):
         embs = np.asarray(dev_out)[:len(chunk)]
@@ -183,26 +177,8 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             row = embs[j] if embs.shape[1] > 1 else embs[j, 0]
             all_embs[video_id].append((frame_num, row, {}))
 
-    # pipeline: decode ahead on a thread, keep one device batch in flight
-    # (the relay executes lazily; reading one batch behind amortizes the
-    # dispatch round-trip)
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        pending = pool.submit(decode_chunk, chunks[0]) if chunks else None
-        in_flight = None  # (chunk, device result)
-        for ci, chunk in enumerate(chunks):
-            rgb, flow = pending.result()
-            if ci + 1 < len(chunks):
-                pending = pool.submit(decode_chunk, chunks[ci + 1])
-            if mesh is not None:
-                from ..core.mesh import shard_batch
-
-                rgb, flow = shard_batch((rgb, flow), mesh)
-            dev_out = embed(rgb, flow, rng)
-            if in_flight is not None:
-                collect(*in_flight)
-            in_flight = (chunk, dev_out)
-        if in_flight is not None:
-            collect(*in_flight)
+    # decode ahead / device in flight / readback one behind (core.pipeline)
+    run_pipelined(chunks, decode_chunk, compute, collect)
 
     os.makedirs(out_dir, exist_ok=True)
     written = 0

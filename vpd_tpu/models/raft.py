@@ -275,6 +275,10 @@ class RAFT(nn.Module):
 
     @nn.compact
     def __call__(self, image1, image2, iters=12, train=False):
+        assert iters >= 1, 'iters must be >= 1'
+        assert image1.shape[1] % 8 == 0 and image1.shape[2] % 8 == 0, (
+            'H and W must be divisible by 8 (the official repo pads with '
+            'InputPadder); got {}'.format(image1.shape))
         im1 = 2. * (image1 / 255.) - 1.
         im2 = 2. * (image2 / 255.) - 1.
 
@@ -302,6 +306,8 @@ class RAFT(nn.Module):
                                   name='update_block')
         predictions = []
         for _ in range(iters):
+            # official per-iteration truncation: coords1 = coords1.detach()
+            coords1 = jax.lax.stop_gradient(coords1)
             corr = corr_lookup(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
             net, mask, delta = update(net, inp, corr, flow)
@@ -440,7 +446,7 @@ def export_torch_raft(variables):
 
 def raft_flow_fn(variables, iters=20, dtype=None):
     """Jitted (prev_u8, curr_u8) -> (B, H, W, 2) flow, raft/flow.py parity."""
-    model = RAFT()
+    model = RAFT(dtype=dtype if dtype is not None else jnp.float32)
 
     @jax.jit
     def fn(prev_u8, curr_u8):

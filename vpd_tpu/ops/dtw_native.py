@@ -21,10 +21,34 @@ _STEP_IDS = {'symmetric2': 0, 'symmetricP2': 1}
 _lib = None
 
 
+def build_locked(src, lib_path, extra_flags=()):
+    """Race-safe on-demand g++ build shared by the native bindings.
+
+    Worker processes (data/parallel_batcher.py) may all find the library
+    missing at once: an exclusive flock serializes the compile, the
+    output lands in a pid-unique temp file, and os.replace publishes it
+    atomically so a concurrent dlopen never sees a half-written .so.
+    """
+    import fcntl
+
+    lock_path = lib_path + '.lock'
+    with open(lock_path, 'w') as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(lib_path) and (
+                    os.path.getmtime(lib_path) >= os.path.getmtime(src)):
+                return  # another process built it while we waited
+            tmp = '{}.tmp.{}'.format(lib_path, os.getpid())
+            subprocess.check_call(
+                ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+                 '-o', tmp, src] + list(extra_flags))
+            os.replace(tmp, lib_path)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
 def _build():
-    subprocess.check_call([
-        'g++', '-O3', '-march=native', '-shared', '-fPIC',
-        '-o', _LIB_PATH, _SRC])
+    build_locked(_SRC, _LIB_PATH)
 
 
 def get_lib():

@@ -15,8 +15,8 @@ import os
 
 import numpy as np
 
-from ..data.crops import _imread_rgb
-from ..ops.flow import flow_to_img, lucas_kanade_flow, subtract_median
+from ..data.crops import decode_crop_batch
+from ..ops.flow import lucas_kanade_flow
 
 
 def get_args():
@@ -83,26 +83,22 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
         subtract_median=sub_median)
 
     import cv2
-    png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
 
-    from ..data import native_loader
-    use_native = native_loader.available()
+    from ..core.pipeline import run_pipelined
+
+    png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
 
     def decode_chunk(chunk):
         prev = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
         curr = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
-        if use_native:
-            native_loader.decode_crops(
-                [p + '.prev.png' for p in chunk], img_dim,
-                rgb_out=prev[:len(chunk)])
-            native_loader.decode_crops(
-                [p + '.png' for p in chunk], img_dim,
-                rgb_out=curr[:len(chunk)])
-        else:
-            for j, prefix in enumerate(chunk):
-                prev[j] = _imread_rgb(prefix + '.prev.png', img_dim)
-                curr[j] = _imread_rgb(prefix + '.png', img_dim)
+        decode_crop_batch([p + '.prev.png' for p in chunk], img_dim,
+                          rgb_out=prev)
+        decode_crop_batch([p + '.png' for p in chunk], img_dim,
+                          rgb_out=curr)
         return prev, curr
+
+    def compute(host):
+        return qfn(*host)
 
     def write_chunk(chunk, dev_out):
         q = np.asarray(dev_out)[:len(chunk)]  # (n, H, W, 2) uint8
@@ -112,26 +108,9 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
                         np.concatenate([q[j], third], axis=-1),
                         png_compression)
 
-    import concurrent.futures
-
-    chunks = [pairs[i:i + batch_size]
-              for i in range(0, len(pairs), batch_size)]
-    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
-        pending = pool.submit(decode_chunk, chunks[0]) if chunks else None
-        in_flight = None  # (chunk, device result)
-        writes = []
-        for ci, chunk in enumerate(chunks):
-            prev, curr = pending.result()
-            if ci + 1 < len(chunks):
-                pending = pool.submit(decode_chunk, chunks[ci + 1])
-            dev_out = qfn(prev, curr)
-            if in_flight is not None:
-                writes.append(pool.submit(write_chunk, *in_flight))
-            in_flight = (chunk, dev_out)
-        if in_flight is not None:
-            write_chunk(*in_flight)
-        for fut in writes:
-            fut.result()
+    run_pipelined([pairs[i:i + batch_size]
+                   for i in range(0, len(pairs), batch_size)],
+                  decode_chunk, compute, write_chunk)
     print('Done!')
 
 

@@ -107,22 +107,22 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
 
         from ..data.parallel_batcher import MultiprocessBatcher
 
-        def make_batcher(samplers):
+        def make_batcher(samplers, salt):
             def make(wid):
                 clones = []
                 for si, smp in enumerate(samplers):
                     c = copy.copy(smp)
                     c.rng = np.random.default_rng(
-                        seed + 7919 * (wid + 1) + si)
+                        seed + salt + 7919 * (wid + 1) + si)
                     clones.append(c)
                 return FusedBatcher(clones, batch_size)
             return make
 
         train_b = MultiprocessBatcher(
-            make_batcher(train_samplers), num_workers,
+            make_batcher(train_samplers, 0), num_workers,
             train_b.num_batches, template=train_b)
         val_b = MultiprocessBatcher(
-            make_batcher(val_samplers), max(1, num_workers // 2),
+            make_batcher(val_samplers, 104729), max(1, num_workers // 2),
             val_b.num_batches, template=val_b)
 
     config = default_config(
