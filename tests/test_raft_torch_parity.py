@@ -244,3 +244,153 @@ def test_raft_forward_matches_torch_mirror():
             torch.from_numpy(im2).permute(0, 3, 1, 2), iters=3)
     flow_torch = flow_torch.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(flow_jax, flow_torch, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# raft-small mirror
+
+
+class TBottleneckBlock(nn.Module):
+    def __init__(self, in_planes, planes, norm_fn, stride):
+        super().__init__()
+        q = planes // 4
+        self.conv1 = nn.Conv2d(in_planes, q, 1)
+        self.conv2 = nn.Conv2d(q, q, 3, padding=1, stride=stride)
+        self.conv3 = nn.Conv2d(q, planes, 1)
+        mk = (lambda p: nn.InstanceNorm2d(p)) if norm_fn == 'instance' \
+            else (lambda p: nn.Identity())
+        self.norm1, self.norm2, self.norm3 = mk(q), mk(q), mk(planes)
+        if stride == 1:
+            self.downsample = None
+        else:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_planes, planes, 1, stride=stride), mk(planes))
+
+    def forward(self, x):
+        y = F.relu(self.norm1(self.conv1(x)))
+        y = F.relu(self.norm2(self.conv2(y)))
+        y = F.relu(self.norm3(self.conv3(y)))
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return F.relu(x + y)
+
+
+class TSmallEncoder(nn.Module):
+    def __init__(self, output_dim, norm_fn):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 32, 7, stride=2, padding=3)
+        self.norm1 = (nn.InstanceNorm2d(32) if norm_fn == 'instance'
+                      else nn.Identity())
+        self.layer1 = nn.Sequential(TBottleneckBlock(32, 32, norm_fn, 1),
+                                    TBottleneckBlock(32, 32, norm_fn, 1))
+        self.layer2 = nn.Sequential(TBottleneckBlock(32, 64, norm_fn, 2),
+                                    TBottleneckBlock(64, 64, norm_fn, 1))
+        self.layer3 = nn.Sequential(TBottleneckBlock(64, 96, norm_fn, 2),
+                                    TBottleneckBlock(96, 96, norm_fn, 1))
+        self.conv2 = nn.Conv2d(96, output_dim, 1)
+
+    def forward(self, x):
+        x = F.relu(self.norm1(self.conv1(x)))
+        return self.conv2(self.layer3(self.layer2(self.layer1(x))))
+
+
+class TSmallUpdateBlock(nn.Module):
+    def __init__(self):
+        super().__init__()
+        enc = nn.Module()
+        enc.convc1 = nn.Conv2d(4 * 49, 96, 1)
+        enc.convf1 = nn.Conv2d(2, 64, 7, padding=3)
+        enc.convf2 = nn.Conv2d(64, 32, 3, padding=1)
+        enc.conv = nn.Conv2d(96 + 32, 80, 3, padding=1)
+        self.encoder = enc
+        gru = nn.Module()
+        k = 96 + (82 + 64)
+        gru.convz = nn.Conv2d(k, 96, 3, padding=1)
+        gru.convr = nn.Conv2d(k, 96, 3, padding=1)
+        gru.convq = nn.Conv2d(k, 96, 3, padding=1)
+        self.gru = gru
+        self.flow_head = nn.Sequential()
+        self.flow_head.conv1 = nn.Conv2d(96, 128, 3, padding=1)
+        self.flow_head.conv2 = nn.Conv2d(128, 2, 3, padding=1)
+
+    def forward(self, net, inp, corr, flow):
+        c = F.relu(self.encoder.convc1(corr))
+        f = F.relu(self.encoder.convf1(flow))
+        f = F.relu(self.encoder.convf2(f))
+        motion = F.relu(self.encoder.conv(torch.cat([c, f], dim=1)))
+        motion = torch.cat([motion, flow], dim=1)
+        x = torch.cat([inp, motion], dim=1)
+        hx = torch.cat([net, x], dim=1)
+        z = torch.sigmoid(self.gru.convz(hx))
+        r = torch.sigmoid(self.gru.convr(hx))
+        q = torch.tanh(self.gru.convq(torch.cat([r * net, x], dim=1)))
+        net = (1 - z) * net + z * q
+        d = F.relu(self.flow_head.conv1(net))
+        return net, self.flow_head.conv2(d)
+
+
+class TRAFTSmall(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.fnet = TSmallEncoder(128, 'instance')
+        self.cnet = TSmallEncoder(96 + 64, 'none')
+        self.update_block = TSmallUpdateBlock()
+
+    def forward(self, image1, image2, iters):
+        im1 = 2 * (image1 / 255.) - 1
+        im2 = 2 * (image2 / 255.) - 1
+        fmap1, fmap2 = self.fnet(im1), self.fnet(im2)
+        corr_fn = TCorrBlock(fmap1, fmap2, radius=3)
+        cnet = self.cnet(im1)
+        net, inp = torch.split(cnet, [96, 64], dim=1)
+        net, inp = torch.tanh(net), F.relu(inp)
+        b, _, h, w = fmap1.shape
+        coords0 = TRAFT.coords_grid(b, h, w)
+        coords1 = coords0.clone()
+        for _ in range(iters):
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, delta = self.update_block(net, inp, corr, flow)
+            coords1 = coords1 + delta
+        flow = coords1 - coords0
+        return 8 * F.interpolate(flow, scale_factor=8, mode='bilinear',
+                                 align_corners=True)
+
+
+def test_raft_small_matches_torch_mirror():
+    from vpd_tpu.models.raft import import_torch_raft, is_small_state_dict
+
+    model = RAFT(small=True)
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(7), z, z, iters=1)
+    sd_np = export_torch_raft(variables)
+    assert is_small_state_dict(sd_np)
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in sd_np.items()}
+
+    tmodel = TRAFTSmall()
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert not missing, missing
+    tmodel.eval()
+
+    rng = np.random.default_rng(8)
+    im1 = rng.integers(0, 255, (2, 128, 128, 3)).astype(np.float32)
+    im2 = np.roll(im1, 2, axis=2) + rng.normal(
+        scale=2., size=im1.shape).astype(np.float32)
+    flow_jax = np.asarray(model.apply(
+        variables, jnp.asarray(im1), jnp.asarray(im2), iters=3,
+        train=False))
+    with torch.no_grad():
+        flow_torch = tmodel(
+            torch.from_numpy(im1).permute(0, 3, 1, 2),
+            torch.from_numpy(im2).permute(0, 3, 1, 2), iters=3)
+    flow_torch = flow_torch.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(flow_jax, flow_torch, atol=1e-3)
+
+    # import path: the same dict reloads into matching flax params
+    back = import_torch_raft({'module.' + k: v for k, v in sd_np.items()})
+    np.testing.assert_array_equal(
+        np.asarray(back['params']['update_block']['gru']['convz']['kernel']),
+        np.asarray(variables['params']['update_block']['gru']['convz']
+                   ['kernel']))

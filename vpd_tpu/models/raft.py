@@ -65,6 +65,54 @@ class ResidualBlock(nn.Module):
         return nn.relu(x + y)
 
 
+class BottleneckBlock(nn.Module):
+    planes: int
+    norm_fn: str  # 'instance' | 'none' (small models don't use batch)
+    stride: int = 1
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        norm = (_instance_norm if self.norm_fn == 'instance'
+                else (lambda v: v))
+        q = self.planes // 4
+        y = nn.relu(norm(nn.Conv(q, (1, 1), padding=0, dtype=self.dtype,
+                                 name='conv1')(x)))
+        y = nn.relu(norm(nn.Conv(q, (3, 3), strides=self.stride, padding=1,
+                                 dtype=self.dtype, name='conv2')(y)))
+        y = nn.relu(norm(nn.Conv(self.planes, (1, 1), padding=0,
+                                 dtype=self.dtype, name='conv3')(y)))
+        if self.stride != 1:
+            x = norm(nn.Conv(self.planes, (1, 1), strides=self.stride,
+                             padding=0, dtype=self.dtype,
+                             name='downsample_conv')(x))
+        return nn.relu(x + y)
+
+
+class SmallEncoder(nn.Module):
+    """raft-small fnet/cnet: 7x7/2 stem + 3 bottleneck stages (1/8)."""
+    output_dim: int = 128
+    norm_fn: str = 'instance'
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(32, (7, 7), strides=2, padding=3, dtype=self.dtype,
+                    name='conv1')(x)
+        if self.norm_fn == 'instance':
+            x = _instance_norm(x)
+        x = nn.relu(x)
+        for li, (planes, stride) in enumerate(
+                [(32, 1), (64, 2), (96, 2)], start=1):
+            for bi in range(2):
+                x = BottleneckBlock(
+                    planes, self.norm_fn, stride=stride if bi == 0 else 1,
+                    dtype=self.dtype,
+                    name='layer{}_{}'.format(li, bi))(x, train=train)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                       name='conv2')(x)
+
+
 class BasicEncoder(nn.Module):
     """fnet/cnet trunk: 7x7/2 stem + 3 residual stages -> 1x1 head (1/8)."""
     output_dim: int = 256
@@ -223,6 +271,58 @@ class SepConvGRU(nn.Module):
         return h
 
 
+class SmallMotionEncoder(nn.Module):
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        dt = self.dtype
+        c = nn.relu(nn.Conv(96, (1, 1), padding=0, dtype=dt,
+                            name='convc1')(corr))
+        f = nn.relu(nn.Conv(64, (7, 7), padding=3, dtype=dt,
+                            name='convf1')(flow))
+        f = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=dt,
+                            name='convf2')(f))
+        out = nn.relu(nn.Conv(80, (3, 3), padding=1, dtype=dt,
+                              name='conv')(
+            jnp.concatenate([c, f], axis=-1)))
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
+
+
+class ConvGRU(nn.Module):
+    hidden_dim: int = 96
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1,
+                               dtype=self.dtype, name='convz')(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1,
+                               dtype=self.dtype, name='convr')(hx))
+        q = jnp.tanh(nn.Conv(self.hidden_dim, (3, 3), padding=1,
+                             dtype=self.dtype, name='convq')(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class SmallUpdateBlock(nn.Module):
+    hidden_dim: int = 96
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        dt = self.dtype
+        motion = SmallMotionEncoder(dtype=dt, name='encoder')(flow, corr)
+        net = ConvGRU(self.hidden_dim, dtype=dt, name='gru')(
+            net, jnp.concatenate([inp, motion], axis=-1))
+        d = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=dt,
+                            name='flow_head_conv1')(net))
+        delta = nn.Conv(2, (3, 3), padding=1, dtype=dt,
+                        name='flow_head_conv2')(d)
+        return net, None, delta.astype(jnp.float32)
+
+
 class BasicUpdateBlock(nn.Module):
     hidden_dim: int = 128
     dtype: type = jnp.float32
@@ -261,17 +361,52 @@ def upsample_flow_convex(flow, mask):
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
 
 
-class RAFT(nn.Module):
-    """Basic RAFT. Call with 0-255 RGB (B, H, W, 3); H, W divisible by 8.
+def _align_corners_up_matrix(out_size, in_size):
+    """(out, in) bilinear weights for align_corners=True interpolation."""
+    if in_size == 1:
+        return jnp.ones((out_size, 1), jnp.float32)
+    src = jnp.arange(out_size, dtype=jnp.float32) * (
+        (in_size - 1) / (out_size - 1))
+    idx = jnp.arange(in_size, dtype=jnp.float32)
+    return jnp.maximum(0., 1. - jnp.abs(src[:, None] - idx[None, :]))
 
-    `dtype=jnp.bfloat16` runs every conv in bf16 (params stay f32; flow
-    updates, correlation accumulation and upsampling stay f32).
+
+def upsample_flow_bilinear8(flow):
+    """8x flow upsampling for raft-small (no convex mask): matches
+    8 * F.interpolate(scale_factor=8, mode='bilinear',
+    align_corners=True) as two separable interpolation matmuls."""
+    b, h, w, _ = flow.shape
+    wy = _align_corners_up_matrix(8 * h, h)
+    wx = _align_corners_up_matrix(8 * w, w)
+    return 8. * jnp.einsum('oh,bhwc,pw->bopc', wy, flow, wx)
+
+
+class RAFT(nn.Module):
+    """RAFT in basic (default) or small form. Call with 0-255 RGB
+    (B, H, W, 3); H, W divisible by 8.
+
+    `small=True` is the official raft-small architecture: bottleneck
+    encoders (fnet instance-norm, cnet norm-free), hidden 96 + context
+    64, radius-3 lookup, plain ConvGRU, bilinear (not convex) 8x
+    upsampling. `dtype=jnp.bfloat16` runs every conv in bf16 (params
+    stay f32; flow updates, correlation accumulation and upsampling
+    stay f32).
     """
-    hidden_dim: int = 128
-    context_dim: int = 128
+    small: bool = False
     corr_levels: int = 4
-    corr_radius: int = 4
     dtype: type = jnp.float32
+
+    @property
+    def hidden_dim(self):
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self):
+        return 64 if self.small else 128
+
+    @property
+    def corr_radius(self):
+        return 3 if self.small else 4
 
     @nn.compact
     def __call__(self, image1, image2, iters=12, train=False):
@@ -282,12 +417,21 @@ class RAFT(nn.Module):
         im1 = 2. * (image1 / 255.) - 1.
         im2 = 2. * (image2 / 255.) - 1.
 
-        fnet = BasicEncoder(256, 'instance', dtype=self.dtype,
-                            name='fnet')
+        if self.small:
+            fnet = SmallEncoder(128, 'instance', dtype=self.dtype,
+                                name='fnet')
+            cnet_mod = SmallEncoder(
+                self.hidden_dim + self.context_dim, 'none',
+                dtype=self.dtype, name='cnet')
+        else:
+            fnet = BasicEncoder(256, 'instance', dtype=self.dtype,
+                                name='fnet')
+            cnet_mod = BasicEncoder(
+                self.hidden_dim + self.context_dim, 'batch',
+                dtype=self.dtype, name='cnet')
         fmap1 = fnet(im1, train=train)
         fmap2 = fnet(im2, train=train)
-        cnet = BasicEncoder(self.hidden_dim + self.context_dim, 'batch',
-                            dtype=self.dtype, name='cnet')(im1, train=train)
+        cnet = cnet_mod(im1, train=train)
         net = jnp.tanh(cnet[..., :self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim:])
 
@@ -302,8 +446,16 @@ class RAFT(nn.Module):
         coords0 = coords_grid(b, h, w)
         coords1 = coords0
 
-        update = BasicUpdateBlock(self.hidden_dim, dtype=self.dtype,
-                                  name='update_block')
+        update = (SmallUpdateBlock(self.hidden_dim, dtype=self.dtype,
+                                   name='update_block') if self.small
+                  else BasicUpdateBlock(self.hidden_dim, dtype=self.dtype,
+                                        name='update_block'))
+
+        def up(flow, mask):
+            if mask is None:
+                return upsample_flow_bilinear8(flow)
+            return upsample_flow_convex(flow, mask)
+
         predictions = []
         for _ in range(iters):
             # official per-iteration truncation: coords1 = coords1.detach()
@@ -313,11 +465,10 @@ class RAFT(nn.Module):
             net, mask, delta = update(net, inp, corr, flow)
             coords1 = coords1 + delta
             if train:
-                predictions.append(
-                    upsample_flow_convex(coords1 - coords0, mask))
+                predictions.append(up(coords1 - coords0, mask))
         if train:
             return predictions
-        return upsample_flow_convex(coords1 - coords0, mask)
+        return up(coords1 - coords0, mask)
 
 
 def sequence_loss(predictions, flow_gt, gamma=0.8, max_flow=400.):
@@ -335,12 +486,22 @@ def sequence_loss(predictions, flow_gt, gamma=0.8, max_flow=400.):
 # ---------------------------------------------------------------------------
 # Official-checkpoint import (princeton-vl/RAFT basic models).
 
+def is_small_state_dict(sd):
+    """Detect the raft-small layout (bottleneck blocks have a conv3)."""
+    return any(k.endswith('fnet.layer1.0.conv3.weight') for k in sd)
+
+
 def import_torch_raft(sd):
-    """Torch RAFT state_dict -> {'params': ..., 'batch_stats': ...}."""
+    """Torch RAFT state_dict -> {'params': ..., 'batch_stats': ...}.
+
+    Handles both official layouts; build the model with
+    RAFT(small=is_small_state_dict(sd)).
+    """
     from .torch_compat import _bn, _conv
 
     sd = {(k[len('module.'):] if k.startswith('module.') else k): v
           for k, v in sd.items()}
+    small = is_small_state_dict(sd)
 
     def conv(prefix):
         out = {'kernel': _conv(sd[prefix + '.weight'])}
@@ -348,8 +509,11 @@ def import_torch_raft(sd):
             out['bias'] = np.asarray(sd[prefix + '.bias'])
         return out
 
+    block_convs = ('conv1', 'conv2', 'conv3') if small else (
+        'conv1', 'conv2')
     params, stats = {}, {}
-    for enc, norm in (('fnet', 'instance'), ('cnet', 'batch')):
+    for enc, norm in (('fnet', 'instance'),
+                      ('cnet', 'none' if small else 'batch')):
         p, s = {'conv1': conv(enc + '.conv1')}, {}
         if norm == 'batch':
             p['norm1'], s['norm1'] = _bn(enc + '.norm1', sd)
@@ -357,8 +521,7 @@ def import_torch_raft(sd):
             for bi in range(2):
                 name = 'layer{}_{}'.format(li, bi)
                 tp = '{}.layer{}.{}'.format(enc, li, bi)
-                bp = {'conv1': conv(tp + '.conv1'),
-                      'conv2': conv(tp + '.conv2')}
+                bp = {c: conv('{}.{}'.format(tp, c)) for c in block_convs}
                 bs = {}
                 if norm == 'batch':
                     bp['norm1'], bs['norm1'] = _bn(tp + '.norm1', sd)
@@ -377,18 +540,20 @@ def import_torch_raft(sd):
             stats[enc] = s
 
     ub = 'update_block.'
+    enc_convs = (('convc1', 'convf1', 'convf2', 'conv') if small
+                 else ('convc1', 'convc2', 'convf1', 'convf2', 'conv'))
+    gru_convs = (('convz', 'convr', 'convq') if small
+                 else ('convz1', 'convr1', 'convq1',
+                       'convz2', 'convr2', 'convq2'))
     params['update_block'] = {
-        'encoder': {k: conv(ub + 'encoder.' + k)
-                    for k in ('convc1', 'convc2', 'convf1', 'convf2',
-                              'conv')},
-        'gru': {k: conv(ub + 'gru.' + k)
-                for k in ('convz1', 'convr1', 'convq1',
-                          'convz2', 'convr2', 'convq2')},
+        'encoder': {k: conv(ub + 'encoder.' + k) for k in enc_convs},
+        'gru': {k: conv(ub + 'gru.' + k) for k in gru_convs},
         'flow_head_conv1': conv(ub + 'flow_head.conv1'),
         'flow_head_conv2': conv(ub + 'flow_head.conv2'),
-        'mask_conv1': conv(ub + 'mask.0'),
-        'mask_conv2': conv(ub + 'mask.2'),
     }
+    if not small:
+        params['update_block']['mask_conv1'] = conv(ub + 'mask.0')
+        params['update_block']['mask_conv2'] = conv(ub + 'mask.2')
     return {'params': params, 'batch_stats': stats}
 
 
@@ -421,8 +586,9 @@ def export_torch_raft(variables):
                 name = 'layer{}_{}'.format(li, bi)
                 tp = '{}.layer{}.{}'.format(enc, li, bi)
                 bp, bs = p[name], s.get(name, {})
-                put_conv(tp + '.conv1', bp['conv1'])
-                put_conv(tp + '.conv2', bp['conv2'])
+                for c in ('conv1', 'conv2', 'conv3'):
+                    if c in bp:
+                        put_conv('{}.{}'.format(tp, c), bp[c])
                 for norm_name, torch_name in (
                         ('norm1', tp + '.norm1'), ('norm2', tp + '.norm2'),
                         ('norm3', tp + '.downsample.1')):
@@ -439,14 +605,16 @@ def export_torch_raft(variables):
         put_conv('update_block.gru.' + k, v)
     put_conv('update_block.flow_head.conv1', ub['flow_head_conv1'])
     put_conv('update_block.flow_head.conv2', ub['flow_head_conv2'])
-    put_conv('update_block.mask.0', ub['mask_conv1'])
-    put_conv('update_block.mask.2', ub['mask_conv2'])
+    if 'mask_conv1' in ub:
+        put_conv('update_block.mask.0', ub['mask_conv1'])
+        put_conv('update_block.mask.2', ub['mask_conv2'])
     return out
 
 
-def raft_flow_fn(variables, iters=20, dtype=None):
+def raft_flow_fn(variables, iters=20, dtype=None, small=False):
     """Jitted (prev_u8, curr_u8) -> (B, H, W, 2) flow, raft/flow.py parity."""
-    model = RAFT(dtype=dtype if dtype is not None else jnp.float32)
+    model = RAFT(small=small,
+                 dtype=dtype if dtype is not None else jnp.float32)
 
     @jax.jit
     def fn(prev_u8, curr_u8):

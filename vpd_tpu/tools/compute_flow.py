@@ -33,23 +33,29 @@ def get_args():
     parser.add_argument('--raft_weights', type=str,
                         help='torch RAFT checkpoint (.pth) for --model raft')
     parser.add_argument('--raft_iters', type=int, default=20)
+    parser.add_argument('--small', action='store_true',
+                        help='raft-small architecture (auto-detected from '
+                             '--raft_weights; needed only without weights)')
     return parser.parse_args()
 
 
-def build_flow_fn(model, raft_weights=None, raft_iters=20):
+def build_flow_fn(model, raft_weights=None, raft_iters=20, small=False):
     if model == 'lk':
         return lucas_kanade_flow
-    from ..models.raft import RAFT, import_torch_raft, raft_flow_fn
+    from ..models.raft import (RAFT, import_torch_raft,
+                               is_small_state_dict, raft_flow_fn)
     if raft_weights:
         from ..models.torch_compat import load_torch_state_dict
-        variables = import_torch_raft(load_torch_state_dict(raft_weights))
+        sd = load_torch_state_dict(raft_weights)
+        small = is_small_state_dict(sd)
+        variables = import_torch_raft(sd)
     else:  # random init: only useful for smoke tests
         import jax
         import jax.numpy as jnp
-        m = RAFT()
+        m = RAFT(small=small)
         z = jnp.zeros((1, 64, 64, 3))
         variables = m.init(jax.random.key(0), z, z, iters=1)
-    return raft_flow_fn(variables, iters=raft_iters)
+    return raft_flow_fn(variables, iters=raft_iters, small=small)
 
 
 def get_pairs(crop_dir, out_suffix, overwrite):
@@ -67,7 +73,7 @@ def get_pairs(crop_dir, out_suffix, overwrite):
 
 def main(path, out_name, clip, img_dim, batch_size, overwrite,
          subtract_median_flag=False, model='lk', raft_weights=None,
-         raft_iters=20):
+         raft_iters=20, small=False):
     """Pipelined: decode chunk i+1 on a worker thread and PNG-write chunk
     i-1 while the device computes chunk i; flow is quantized to uint8 ON
     DEVICE (ops/flow.py quantize_flow_device), cutting readback 4x —
@@ -79,7 +85,8 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
     pairs = get_pairs(path, out_suffix, overwrite)
     print('{} frame pairs to process'.format(len(pairs)))
     qfn = make_quantized_flow_fn(
-        build_flow_fn(model, raft_weights, raft_iters), clip=clip,
+        build_flow_fn(model, raft_weights, raft_iters, small=small),
+        clip=clip,
         subtract_median=sub_median)
 
     import cv2
@@ -118,4 +125,5 @@ if __name__ == '__main__':
     a = get_args()
     main(a.path, a.out_name, a.clip, a.img_dim, a.batch_size, a.overwrite,
          subtract_median_flag=a.subtract_median, model=a.model,
-         raft_weights=a.raft_weights, raft_iters=a.raft_iters)
+         raft_weights=a.raft_weights, raft_iters=a.raft_iters,
+         small=a.small)
