@@ -14,6 +14,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
 
 
 def get_mesh(devices=None, axis_name=DATA_AXIS):
@@ -21,6 +22,55 @@ def get_mesh(devices=None, axis_name=DATA_AXIS):
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def get_mesh_2d(num_model=2, devices=None, data_axis=DATA_AXIS,
+                model_axis=MODEL_AXIS):
+    """A (data, model) mesh for combined data + tensor parallelism.
+
+    The model axis should map to adjacent devices (fastest ICI links);
+    the trailing reshape dimension does exactly that for TPU slices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % num_model == 0, (n, num_model)
+    arr = np.asarray(devices).reshape(n // num_model, num_model)
+    return Mesh(arr, (data_axis, model_axis))
+
+
+def tensor_parallel_shardings(tree, mesh, model_axis=MODEL_AXIS,
+                              min_cols=None):
+    """Shape-based tensor-parallel placement for a param/opt-state tree.
+
+    Shards the trailing (output-feature) dimension of every array whose
+    last dim divides evenly over the model axis and is wide enough to be
+    worth splitting; everything else (scalars, small heads) replicates.
+    Column-sharding every Dense this way is always *correct* — GSPMD
+    inserts the all-gathers where a consumer (BatchNorm, the next
+    matmul's contraction) needs full rows — and for the wide FC layers
+    of the VIPE encoder it keeps both the matmul outputs and the AdamW
+    state sharded.
+    """
+    m = mesh.shape[model_axis]
+    if min_cols is None:
+        min_cols = 2 * m
+
+    def spec(x):
+        shape = getattr(x, 'shape', ())
+        if len(shape) >= 1 and shape[-1] % m == 0 and shape[-1] >= min_cols:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [model_axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def apply_tensor_parallel(tree, mesh, model_axis=MODEL_AXIS):
+    """Device-put a tree with tensor_parallel_shardings placement."""
+    return jax.tree_util.tree_map(
+        jax.device_put, tree,
+        tensor_parallel_shardings(tree, mesh, model_axis))
 
 
 def batch_sharding(mesh, axis_name=DATA_AXIS):

@@ -13,7 +13,8 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core.io import load_json, store_json
-from ..core.mesh import get_mesh, shard_batch
+from ..core.mesh import MODEL_AXIS, apply_tensor_parallel, get_mesh, \
+    shard_batch
 from ..models import FCPoseDecoder, FCResNet
 from .vipe import (VIPEModel, create_state, make_eval_step, make_train_step,
                    run_epoch)
@@ -55,6 +56,12 @@ class VIPETrainer:
         self.state = create_state(
             self.model, train_batcher.next_batch(),
             learning_rate=self.config['learning_rate'], seed=seed)
+        if MODEL_AXIS in self.mesh.shape and \
+                self.mesh.shape[MODEL_AXIS] > 1:
+            # tensor parallelism: wide FC kernels + their AdamW state are
+            # column-sharded over the 'model' axis; jit/GSPMD partitions
+            # the matmuls and inserts the collectives
+            self.state = apply_tensor_parallel(self.state, self.mesh)
         self.train_step = make_train_step(
             self.model, kp_mask, weight_3d=LIFT_3D_WEIGHT)
         self.eval_step = make_eval_step(
