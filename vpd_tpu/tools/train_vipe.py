@@ -52,6 +52,9 @@ def get_args():
     parser.add_argument('--num_workers', type=int, default=0,
                         help='sampler worker processes '
                              '(reference DataLoader num_workers)')
+    parser.add_argument('--tensor_parallel', type=int, default=1,
+                        help='model-axis size of a 2-D data x model mesh '
+                             '(column-shards the wide FC kernels)')
     return parser.parse_args()
 
 
@@ -89,7 +92,8 @@ def build_samplers(names, embed_bones, augment_camera, seed):
 def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
          batch_size, embedding_dim, encoder_arch, decoder_arch, embed_bones,
          model_select_contrast, model_select_window, resume, no_camera_aug,
-         seed, render_preview_frequency=100, num_workers=0):
+         seed, render_preview_frequency=100, num_workers=0,
+         tensor_parallel=1):
     if dataset and 'all' in dataset:
         dataset = DATASETS
     elif dataset and '3d' in dataset:
@@ -135,8 +139,12 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         checkpoint_frequency=checkpoint_frequency)
     config['model_select_contrast'] = model_select_contrast
 
+    mesh = None
+    if tensor_parallel > 1:
+        from ..core.mesh import get_mesh_2d
+        mesh = get_mesh_2d(tensor_parallel)
     trainer = VIPETrainer(train_b, val_b, config, save_dir=save_dir,
-                          seed=seed)
+                          mesh=mesh, seed=seed)
     start_epoch = 1
     if resume:
         start_epoch = trainer.resume()
