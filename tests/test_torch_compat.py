@@ -206,3 +206,84 @@ def test_fcresnet_parity():
 
     assert 1 - cosine(out_flax, out_torch) < 1e-3
     np.testing.assert_allclose(out_flax, out_torch, rtol=1e-3, atol=1e-4)
+
+
+# ---- ImageNet-pretrained student init (models/rgb.py:19-66) ---------------
+
+def test_imagenet_init_matches_reference_surgery():
+    """`imagenet_init_variables` == torch `add_flow_to_model` numerics.
+
+    A random-weight torch resnet18 stands in for torchvision's ImageNet
+    checkpoint. The reference surgery (mean-expand conv1 over the input
+    channel axis to 5 identical copies, swap fc) applied in torch must
+    match the flax 5-channel student initialized from the same state_dict.
+    """
+    from vpd_tpu.models.torch_compat import imagenet_init_variables
+
+    torch.manual_seed(3)
+    tmodel = TorchResNet(TorchBasicBlock, (2, 2, 2, 2), 3, 1000).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, seed=3)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    # reference surgery in torch (models/rgb.py:19-43)
+    with torch.no_grad():
+        w = tmodel.conv1.weight.data
+        new_conv = tnn.Conv2d(5, 64, 7, stride=2, padding=3, bias=False)
+        new_conv.weight.data = w.mean(dim=1, keepdim=True).expand(
+            64, 5, 7, 7).contiguous()
+        tmodel.conv1 = new_conv
+        new_fc = tnn.Linear(512, 16)
+        tmodel.fc = new_fc
+        fc_sd = {'fc.weight': new_fc.weight.numpy(),
+                 'fc.bias': new_fc.bias.numpy()}
+
+    params, stats = imagenet_init_variables(sd, 'resnet18', num_channels=5)
+    assert 'Dense_0' not in params
+    params['Dense_0'] = {
+        'kernel': np.transpose(fc_sd['fc.weight'], (1, 0)),
+        'bias': fc_sd['fc.bias']}
+
+    model = build_encoder('resnet18', emb_dim=16, dtype=jnp.float32)
+    x = np.random.default_rng(3).normal(
+        size=(2, 64, 64, 5)).astype(np.float32)
+    out_flax = np.asarray(model.apply(
+        {'params': params, 'batch_stats': stats}, jnp.asarray(x)))
+    with torch.no_grad():
+        out_torch = tmodel(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+
+    assert 1 - cosine(out_flax, out_torch) < 1e-3
+    np.testing.assert_allclose(out_flax, out_torch, rtol=1e-3, atol=1e-4)
+
+
+def test_vpd_trainer_pretrained_wiring():
+    """--pretrained grafts backbone weights; without weights it errors."""
+    from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+    torch.manual_seed(4)
+    tmodel = TorchResNet(TorchBasicBlock, (2, 2, 2, 2), 3, 1000).eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    config = default_config('tennis', emb_dim=8, batch_size=4, img_dim=32,
+                            use_flow=True, encoder_arch='resnet18',
+                            pretrained=True)
+    with pytest.raises(ValueError, match='init_weights'):
+        VPDTrainer(None, None, config, dtype=jnp.float32)
+
+    trainer = VPDTrainer(None, None, config, dtype=jnp.float32,
+                         pretrained_weights=sd)
+    k = np.asarray(trainer.state.params['encoder']['Conv_0']['kernel'])
+    assert k.shape == (7, 7, 5, 64)
+    # all 5 input channels identical == mean of the torch RGB kernel
+    ref = sd['conv1.weight'].mean(axis=1).transpose(1, 2, 0)
+    for c in range(5):
+        np.testing.assert_allclose(k[:, :, c, :], ref, rtol=1e-6)
+    # backbone BN stats restored from the checkpoint
+    np.testing.assert_allclose(
+        np.asarray(
+            trainer.state.batch_stats['encoder']['BatchNorm_0']['mean']),
+        sd['bn1.running_mean'], rtol=1e-6)
+    # emb head stays freshly initialized (replace_last_layer)
+    assert trainer.state.params['encoder']['Dense_0'][
+        'kernel'].shape == (512, 8)

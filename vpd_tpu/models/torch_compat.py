@@ -87,6 +87,27 @@ def convert_resnet_state_dict(sd, arch):
     return params, stats
 
 
+def imagenet_init_variables(sd, arch, num_channels=3):
+    """torchvision ImageNet state_dict -> student encoder init pytrees.
+
+    Reproduces the reference's pretrained-student construction
+    (models/rgb.py:56-66, wired at train_vpd_model.py:215):
+    `add_flow_to_model` (models/rgb.py:19-37) replaces the first conv by
+    the mean of the pretrained kernel over its input-channel axis expanded
+    to `num_channels` identical copies, and `replace_last_layer`
+    (models/rgb.py:40-43) swaps fc for a fresh emb head — so the fc entry
+    is dropped here and the caller keeps its freshly-initialized Dense_0.
+    """
+    params, stats = convert_resnet_state_dict(sd, arch)
+    del params['Dense_0']
+    if num_channels != 3:
+        k = params['Conv_0']['kernel']  # (kh, kw, 3, 64)
+        mean = k.mean(axis=2, keepdims=True)
+        params['Conv_0']['kernel'] = np.broadcast_to(
+            mean, mean.shape[:2] + (num_channels,) + mean.shape[3:]).copy()
+    return params, stats
+
+
 def convert_fcresnet_state_dict(sd, num_blocks):
     """Reference FCResNet state_dict -> (params, batch_stats).
 

@@ -40,6 +40,10 @@ def get_args():
     parser.add_argument('--encoder_arch', type=str, default='resnet34')
     parser.add_argument('--model_select_window', type=int, default=5)
     parser.add_argument('--pretrained', action='store_true')
+    parser.add_argument('--init_weights', type=str,
+                        help='torchvision ImageNet state_dict (.pth) to '
+                             'initialize the backbone from (required with '
+                             '--pretrained; reference models/rgb.py:56-66)')
     parser.add_argument('--no_test_video', action='store_true')
     parser.add_argument('--min_pose_score', type=float)
     parser.add_argument('--emb_dir', type=str)
@@ -67,7 +71,7 @@ def get_exclude_prefixes(dataset):
 def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          learning_rate, img_dim, flow_img, motion, encoder_arch,
          model_select_window, pretrained, no_test_video, min_pose_score,
-         emb_dir, seed, num_workers=0):
+         emb_dir, seed, num_workers=0, init_weights=None):
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
     exclude = get_exclude_prefixes(dataset) if no_test_video else None
@@ -115,7 +119,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
         checkpoint_frequency=checkpoint_frequency)
 
     trainer = VPDTrainer(train_src, val_src, config, save_dir=save_dir,
-                         seed=seed)
+                         seed=seed, pretrained_weights=init_weights)
     trainer.save_config()
     trainer.fit()
     print('Done!')

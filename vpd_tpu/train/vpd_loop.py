@@ -36,7 +36,7 @@ def build_student(config, dtype=None):
 class VPDTrainer:
 
     def __init__(self, train_source, val_source, config, save_dir=None,
-                 mesh=None, seed=0, dtype=None):
+                 mesh=None, seed=0, dtype=None, pretrained_weights=None):
         self.train_source = train_source
         self.val_source = val_source
         self.config = dict(config)
@@ -49,6 +49,8 @@ class VPDTrainer:
         sample = np.zeros((1, img_dim, img_dim, channels), np.float32)
         self.state = create_state(
             self.model, sample, config['learning_rate'], seed=seed)
+        if self.config.get('pretrained'):
+            self._init_pretrained(pretrained_weights, channels)
 
         mean, std = config['rgb_mean_std']
         self.train_step = make_train_step(
@@ -61,6 +63,38 @@ class VPDTrainer:
         self.losses = []
         self.selector = ckpt.MovingAvgSelector(
             self.config.get('model_select_window', 5))
+
+    def _init_pretrained(self, weights_path, num_channels):
+        """ImageNet-init the encoder (reference models/rgb.py:56-66).
+
+        The backbone params/batch_stats come from a torchvision state_dict
+        converted to NHWC Flax layout, with the stem mean-expanded for
+        5-channel (RGB+flow) students; the emb head stays freshly
+        initialized (`replace_last_layer`, models/rgb.py:40-43).
+        """
+        arch = self.config['encoder_arch']
+        if weights_path is None:
+            raise ValueError(
+                "pretrained=True requires ImageNet weights: pass "
+                "--init_weights <torchvision {} state_dict .pth> (this "
+                "environment has no torchvision/network access, so the "
+                "file must be supplied; without it the reference "
+                "semantics of --pretrained cannot be honored)".format(arch))
+        if 'resnet' not in arch:
+            raise NotImplementedError(
+                'pretrained init is only wired for resnet archs, '
+                'got ' + arch)
+        from ..models.torch_compat import (imagenet_init_variables,
+                                           load_torch_state_dict)
+        sd = (load_torch_state_dict(weights_path)
+              if isinstance(weights_path, (str, os.PathLike))
+              else weights_path)
+        pp, ps = imagenet_init_variables(sd, arch, num_channels)
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params['encoder'] = {**pp, 'Dense_0': params['encoder']['Dense_0']}
+        stats['encoder'] = ps
+        self.state = self.state.replace(params=params, batch_stats=stats)
 
     def save_config(self):
         os.makedirs(self.save_dir, exist_ok=True)
@@ -167,6 +201,7 @@ def default_config(dataset, emb_dim, num_epochs=1000, batch_size=100,
         'motion': motion,
         'emb_dim': emb_dim,
         'encoder_arch': encoder_arch,
+        'pretrained': pretrained,
         'rgb_mean_std': [list(x) for x in
                          RGB_MEAN_STD['resnet' if pretrained else dataset]],
         'model_select_window': model_select_window,
