@@ -220,3 +220,14 @@ def test_real_split_files_load():
     meta = load_meta_cache('tennis')
     assert len(meta) > 1000
     assert meta[next(iter(meta))].fps > 0
+
+
+def test_ap_full_recall_at_top_proposal():
+    """Single GT hit by the top proposal: the reference crashes here
+    (detect.py:225 assert); we return max precision at recall 1."""
+    pc, rc = compute_precision_recall_curve([True], 1)
+    assert compute_ap(pc, rc) == 1.0
+    pc, rc = compute_precision_recall_curve([True, False], 1)
+    assert compute_ap(pc, rc) == 1.0
+    pc, rc = compute_precision_recall_curve([False, True], 1)
+    assert 0 < compute_ap(pc, rc) <= 1

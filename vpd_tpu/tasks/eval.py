@@ -36,6 +36,13 @@ def compute_interpolated_precision(precision, recall):
                 interp_precision.append(max_precision)
         max_precision = max(max_precision, p)
         min_recall = min(min_recall, r)
+    if not interp_precision:
+        # Every proposal is already at full recall (e.g. a single GT
+        # interval hit by the top-scored proposal). The reference crashes
+        # on this input (`detect.py:225` assert); take the max precision
+        # at recall 1 instead (QUIRKS.md).
+        interp_recall.append(min_recall)
+        interp_precision.append(max_precision)
     interp_recall.append(0)
     interp_precision.append(1)
     interp_precision.reverse()

@@ -90,6 +90,55 @@ def load_fs_labels(config):
     return train_labels, test_labels
 
 
+def load_fx_labels(config, test_frac=0.25, seed=0,
+                   annotation_file=None, log=print):
+    """Female-FX FineGym events -> frame Labels (reference detect.py:524-571).
+
+    Each event_id=2 (female floor exercise) segment of the FineGym
+    annotation becomes one 'action' interval on the recut
+    '{video}_{event}' clip. The reference holds out 25% of videos with an
+    *unseeded* train_test_split; here the split is seeded for
+    reproducibility.
+    """
+    from ..core.io import load_json
+    from ..datasets import finegym
+
+    meta = load_video_metadata('fx', paths.FX_VIDEO_DIR, log=log)
+    if annotation_file is None:
+        annotation_file = finegym.ANNOTATION_FILE
+
+    all_labels = []
+    event_id = 2  # female FX
+    annotations = load_json(annotation_file)
+    for video, events in annotations.items():
+        for event, event_data in events.items():
+            if event_data['event'] != event_id:
+                continue
+            video_name = '{}_{}'.format(video, event)
+            if event_data['segments'] is None:
+                log('{} has no segments'.format(video_name))
+                continue
+            if video_name not in meta:
+                continue
+            for segment_data in event_data['segments'].values():
+                assert segment_data['stages'] == 1
+                assert len(segment_data['timestamps']) == 1
+                start, end = segment_data['timestamps'][0]
+                fps = meta[video_name].fps
+                all_labels.append(Label(
+                    video_name, 'action',
+                    int(max(0, fps * (start - config.window_before))),
+                    int(fps * (end + config.window_after)), fps))
+
+    videos = sorted(meta.keys())
+    rng = np.random.default_rng(seed)
+    test_videos = set(rng.choice(
+        videos, int(round(len(videos) * test_frac)), replace=False))
+    train_labels = [l for l in all_labels if l.video not in test_videos]
+    test_labels = [l for l in all_labels if l.video in test_videos]
+    return train_labels, test_labels
+
+
 def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
          tennis_window, norm, hidden_dim, batch_size):
     config = DATA_CONFIGS[dataset]
@@ -108,7 +157,7 @@ def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
     elif dataset.startswith('fs'):
         train_labels, test_labels = load_fs_labels(config)
     else:
-        raise NotImplementedError(dataset)
+        train_labels, test_labels = load_fx_labels(config)
 
     def few_shot_videos(trial):
         path = os.path.join(
