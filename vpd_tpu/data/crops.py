@@ -283,14 +283,26 @@ class Prefetcher:
 
     def _run(self):
         while not self._stop:
-            self.q.put(self.source.next_batch())
+            batch = self.source.next_batch()
+            # Bounded put so a full queue can't park the worker forever
+            # after close() stops draining (shutdown race: _stop was only
+            # checked between batches).
+            while not self._stop:
+                try:
+                    self.q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def next(self):
         return self.q.get()
 
-    def close(self):
+    def close(self, timeout=5.0):
         self._stop = True
-        try:
-            self.q.get_nowait()
-        except queue.Empty:
-            pass
+        # Drain so a worker blocked in put() sees _stop promptly.
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        self.thread.join(timeout)

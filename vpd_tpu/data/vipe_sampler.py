@@ -273,11 +273,24 @@ class FusedBatcher:
     has_3d=0 rows.
     """
 
-    def __init__(self, samplers, batch_size):
+    def __init__(self, samplers, batch_size, divisor=1):
         self.samplers = list(samplers)
         total = sum(len(s) for s in self.samplers)
         self.rows = [max(1, round(batch_size * len(s) / total))
                      for s in self.samplers]
+        # Per-sampler rounding drifts the summed batch; snap it to a
+        # multiple of `divisor` (the mesh 'data' axis size) so
+        # shard_batch's NamedSharding placement never sees a
+        # non-divisible leading dim. Adjust the largest contributor.
+        if divisor > 1:
+            rem = sum(self.rows) % divisor
+            if rem:
+                big = int(np.argmax(self.rows))
+                bump = divisor - rem
+                if self.rows[big] > rem:
+                    self.rows[big] -= rem
+                else:
+                    self.rows[big] += bump
         self.batch_size = sum(self.rows)
         self.num_batches = math.ceil(total / self.batch_size)
         self.kp_dims = [

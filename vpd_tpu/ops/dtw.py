@@ -224,13 +224,7 @@ if _HAS_JAX:
               - 2 * a @ b.T)
         return jnp.sqrt(jnp.maximum(sq, 0))
 
-    def dtw_distance_matrix_fast(queries, q_lens, targets, t_lens,
-                                 step_pattern='symmetric2'):
-        """All-pairs normalized DTW, row-vectorized (fast TPU path).
-
-        queries: (Q, N_pad, D), targets: (T, M_pad, D); returns (Q, T).
-        Unreachable (slope-constrained) pairs return +inf.
-        """
+    def _make_all_pairs(step_pattern):
         dp = (_row_scan_symmetricP2 if step_pattern == 'symmetricP2'
               else _row_scan_symmetric2)
 
@@ -241,8 +235,22 @@ if _HAS_JAX:
             return cost / (ql + tl)
 
         over_t = jax.vmap(one, in_axes=(None, None, 0, 0))
-        over_qt = jax.vmap(over_t, in_axes=(0, 0, None, None))
-        return jax.jit(over_qt)(
+        return jax.jit(jax.vmap(over_t, in_axes=(0, 0, None, None)))
+
+    # One jitted entry per step pattern, built once at import: repeated
+    # same-shape calls (kNN trials) hit the compile cache instead of
+    # retracing a fresh closure per invocation.
+    _ALL_PAIRS = {p: _make_all_pairs(p)
+                  for p in ('symmetric2', 'symmetricP2')}
+
+    def dtw_distance_matrix_fast(queries, q_lens, targets, t_lens,
+                                 step_pattern='symmetric2'):
+        """All-pairs normalized DTW, row-vectorized (fast TPU path).
+
+        queries: (Q, N_pad, D), targets: (T, M_pad, D); returns (Q, T).
+        Unreachable (slope-constrained) pairs return +inf.
+        """
+        return _ALL_PAIRS[step_pattern](
             jnp.asarray(queries, jnp.float32), jnp.asarray(q_lens),
             jnp.asarray(targets, jnp.float32), jnp.asarray(t_lens))
 

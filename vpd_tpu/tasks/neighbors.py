@@ -8,20 +8,52 @@ reference's per-pair compiled scalar core + process pool.
 """
 
 import heapq
+import multiprocessing as mp
 from collections import Counter
 
 import numpy as np
 
 from ..ops.dtw import build_dtw_distance_fn
 
+# Fork-time closure hack (reference util/neighbors.py:20-26): pool workers
+# read the train set + distance fn from a module global captured at fork,
+# so non-picklable distance fns (native .so closures) still parallelize.
+_FORK_CTX = {}
+
+
+def _fork_dist(args):
+    i, x = args
+    return i, _FORK_CTX['fn'](x, _FORK_CTX['X'][i])
+
+
+def pooled_distances(x, X, distance_fn, processes):
+    """[(i, dist)] of x against every row of X over a fork process pool.
+
+    Parity with reference `util/neighbors.py:21-41` (optional process-pool
+    brute force). Requires the 'fork' start method; falls back to serial
+    when unavailable.
+    """
+    try:
+        ctx = mp.get_context('fork')
+    except ValueError:
+        return [(i, distance_fn(x, xt)) for i, xt in enumerate(X)]
+    _FORK_CTX['X'] = X
+    _FORK_CTX['fn'] = distance_fn
+    try:
+        with ctx.Pool(processes) as pool:
+            return pool.map(_fork_dist, [(i, x) for i in range(len(X))])
+    finally:
+        _FORK_CTX.clear()
+
 
 class KNearestNeighbors:
 
-    def __init__(self, X, y, distance_fn, k=1):
+    def __init__(self, X, y, distance_fn, k=1, processes=None):
         self.X = X
         self.y = y
         self.k = k
         self.distance_fn = distance_fn
+        self.processes = processes
 
     def predict(self, x):
         return self.predict_n(x)
@@ -29,8 +61,13 @@ class KNearestNeighbors:
     def predict_n(self, *xs):
         top_k = []
         for x in xs:
-            for i, x_train in enumerate(self.X):
-                d = self.distance_fn(x, x_train)
+            if self.processes and self.processes > 1 and len(self.X) > 1:
+                dists = pooled_distances(x, self.X, self.distance_fn,
+                                         self.processes)
+            else:
+                dists = ((i, self.distance_fn(x, xt))
+                         for i, xt in enumerate(self.X))
+            for i, d in dists:
                 (heapq.heappush if len(top_k) < self.k
                  else heapq.heappushpop)(top_k, (-d, i))
         top_k = [(-d, i) for d, i in top_k]

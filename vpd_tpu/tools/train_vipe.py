@@ -100,10 +100,19 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         dataset = DATASETS_3D
     assert dataset, 'no datasets selected'
 
+    mesh = None
+    if tensor_parallel > 1:
+        from ..core.mesh import get_mesh_2d
+        mesh = get_mesh_2d(tensor_parallel)
+    else:
+        from ..core.mesh import get_mesh
+        mesh = get_mesh()
+    data_div = int(mesh.shape.get('data', 1))
+
     train_samplers, val_samplers, shapes, norms = build_samplers(
         dataset, embed_bones, not no_camera_aug, seed)
-    train_b = FusedBatcher(train_samplers, batch_size)
-    val_b = FusedBatcher(val_samplers, batch_size)
+    train_b = FusedBatcher(train_samplers, batch_size, divisor=data_div)
+    val_b = FusedBatcher(val_samplers, batch_size, divisor=data_div)
     if num_workers > 0:
         # fork one FusedBatcher per worker; the pose data is shared
         # copy-on-write, only the RNG streams differ per worker
@@ -119,7 +128,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
                     c.rng = np.random.default_rng(
                         seed + salt + 7919 * (wid + 1) + si)
                     clones.append(c)
-                return FusedBatcher(clones, batch_size)
+                return FusedBatcher(clones, batch_size, divisor=data_div)
             return make
 
         train_b = MultiprocessBatcher(
@@ -139,10 +148,6 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         checkpoint_frequency=checkpoint_frequency)
     config['model_select_contrast'] = model_select_contrast
 
-    mesh = None
-    if tensor_parallel > 1:
-        from ..core.mesh import get_mesh_2d
-        mesh = get_mesh_2d(tensor_parallel)
     trainer = VIPETrainer(train_b, val_b, config, save_dir=save_dir,
                           mesh=mesh, seed=seed)
     start_epoch = 1

@@ -112,6 +112,12 @@ class VIPETrainer:
         self.state = self.state.replace(
             params=params, batch_stats=stats,
             opt_state=loaded['optimizer'])
+        if MODEL_AXIS in self.mesh.shape and \
+                self.mesh.shape[MODEL_AXIS] > 1:
+            # Restored arrays are host numpy (default-placed); re-apply the
+            # tensor-parallel placement so resume keeps the sharded AdamW
+            # state instead of silently replicating it.
+            self.state = apply_tensor_parallel(self.state, self.mesh)
 
     # -- training ---------------------------------------------------------
 
