@@ -279,3 +279,57 @@ def test_prefetched_source_adapter(tmp_path):
     b = src.next_batch()
     assert b['rgb'].shape == (4, IMG, IMG, 3)
     src.close()
+
+
+def test_vpd_multichip_mesh_matches_single_device():
+    """Same batch, 1-device vs 8-device mesh: loss + params agree.
+
+    Mirrors test_vipe_train's equality proof on the student's
+    BatchNorm-heavy ResNet: jit inserts the collectives, and the global
+    batch-stat claim (train/vpd.py:8-13) must hold numerically.
+    """
+    from vpd_tpu.core.mesh import get_mesh, shard_batch
+    from vpd_tpu.train.vpd import create_state, make_train_step
+    from vpd_tpu.train.vpd_loop import build_student, default_config
+
+    assert jax.device_count() >= 8
+    config = default_config('tennis', emb_dim=8, batch_size=16,
+                            img_dim=IMG, use_flow=True, motion=False,
+                            encoder_arch='resnet18')
+    model = build_student(config, dtype=jnp.float32)
+    rng_np = np.random.default_rng(5)
+    batch = {
+        'rgb': rng_np.integers(0, 255, (16, IMG, IMG, 3), dtype=np.uint8),
+        'flow': rng_np.integers(0, 255, (16, IMG, IMG, 3), dtype=np.uint8),
+        'mask': rng_np.integers(0, 2, (16, IMG, IMG), dtype=np.uint8),
+        'emb': rng_np.normal(size=(16, 8)).astype(np.float32),
+        'flip': rng_np.integers(0, 2, 16).astype(bool),
+    }
+    sample = np.zeros((1, IMG, IMG, 5), np.float32)
+    mean, std = config['rgb_mean_std']
+    lr = 1e-3
+    step = make_train_step(model, mean, std, img_dim=IMG, use_flow=True,
+                           donate=False)
+    rng = jax.random.key(0)
+
+    state1 = create_state(model, sample, lr, seed=0)
+    s1, m1 = step(state1, batch, rng)
+
+    state8 = create_state(model, sample, lr, seed=0)
+    mesh = get_mesh()
+    sharded = shard_batch(batch, mesh)
+    s8, m8 = step(state8, sharded, rng)
+
+    np.testing.assert_allclose(
+        float(m1['emb_loss_sum']), float(m8['emb_loss_sum']), rtol=1e-4)
+    # BatchNorm batch stats must be the GLOBAL batch's stats
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # AdamW step-1 updates are ~ +/- lr; f32 reduction order can flip
+    # near-zero grads' signs, so allow 2.5*lr jitter (as test_vipe_train).
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2.5 * lr)
