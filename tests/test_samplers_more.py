@@ -148,3 +148,60 @@ def test_real_tennis_loader_with_synthetic_embs(tmp_path):
     with_embs = [a for a, e in train_embs.items() if e is not None]
     # at least the actions inside our synthesized clips got windows
     assert all(e is None or e.ndim == 3 for e in train_embs.values())
+
+
+def test_batched_geometry_matches_per_sample():
+    """sample_batch's vectorized geometry == the per-sample functions."""
+    from vpd_tpu.geometry import human36m
+    from vpd_tpu.geometry.camera import (random_project_coco,
+                                         random_project_coco_batch)
+    from vpd_tpu.geometry.coco import (normalize_2d_skeleton,
+                                       normalize_2d_skeleton_batch)
+    from vpd_tpu.geometry.features3d import get_3d_features
+
+    rng = np.random.default_rng(0)
+    kps = rng.normal(size=(16, 17, 3)).astype(np.float32)
+    flips = rng.integers(0, 2, 16).astype(bool)
+    for bones in (False, True):
+        b = normalize_2d_skeleton_batch(kps, flips,
+                                        include_bone_features=bones)
+        s = np.stack([normalize_2d_skeleton(k, f,
+                                            include_bone_features=bones)
+                      for k, f in zip(kps, flips)])
+        np.testing.assert_allclose(b, s, rtol=1e-6, atol=1e-6)
+
+    xyz = rng.normal(size=(1, 17, 3))
+    r1, r2 = np.random.default_rng(7), np.random.default_rng(7)
+    np.testing.assert_allclose(
+        random_project_coco_batch(xyz, r1)[0],
+        random_project_coco(xyz[0], r2), rtol=1e-12)
+
+    offs = rng.normal(size=(8, human36m.SPEC.num_edges, 3))
+    b = get_3d_features(offs, human36m.SPEC)
+    s = np.stack([get_3d_features(o, human36m.SPEC) for o in offs])
+    np.testing.assert_allclose(b, s, rtol=1e-9)
+
+
+def test_sample_batch_matches_sample_distribution():
+    """sample_batch: same shapes and statistics as n sample() calls."""
+    from tests.synth import make_synth_family
+
+    for fam in ('human36m', 'nba2k'):
+        seqs, poses = make_synth_family(fam, seed=0)
+        s = VIPESampler(FAMILIES[fam], seqs, poses, target_len=4096)
+        out = s.sample_batch(256)
+        assert out['pose1'].shape == (256, 13, 3)
+        assert np.isfinite(out['pose1']).all()
+        assert np.isfinite(out['kp_features']).all()
+        # invalid negatives are exact zeros, like sample()
+        invalid = out['neg_valid'] == 0
+        assert (out['pose_neg'][invalid] == 0).all()
+
+        s2 = VIPESampler(FAMILIES[fam], seqs, poses, target_len=4096,
+                         seed=5)
+        ref = [s2.sample() for _ in range(256)]
+        for k in ('pose1', 'pose2', 'kp_features'):
+            assert abs(out[k].mean()
+                       - np.mean([r[k] for r in ref])) < 0.06, (fam, k)
+        assert abs(out['neg_valid'].mean()
+                   - np.mean([r['neg_valid'] for r in ref])) < 0.12

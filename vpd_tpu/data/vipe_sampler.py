@@ -22,11 +22,13 @@ import numpy as np
 
 from ..core.io import load_gz_json, load_pickle
 from ..geometry import amass, human36m, nba2k, people3d
-from ..geometry.camera import random_project_offsets
-from ..geometry.coco import normalize_2d_skeleton
+from ..geometry.camera import (random_project_offsets,
+                               random_project_offsets_batch)
+from ..geometry.coco import (normalize_2d_skeleton,
+                             normalize_2d_skeleton_batch)
 from ..geometry.features3d import (
     get_3d_features, is_good_3d_neg_sample, mean_offset_norms,
-    normalize_3d_offsets)
+    neg_sample_valid_batch, normalize_3d_offsets)
 
 MAX_NEG_SAMPLE_TRIES = 10
 CAMERA_AUG_PROB = 0.5
@@ -189,6 +191,131 @@ class VIPESampler:
             ).astype(np.float32),
         }
 
+    def sample_batch(self, n):
+        """Vectorized `sample()`: n rows as stacked arrays.
+
+        Same per-row semantics (frame/camera choices, camera-aug
+        probability, rejection-sampled negatives with flip) but the
+        geometry — flips, synthetic projections, 2D normalization, 3D
+        features — runs batched over the whole draw, which is what makes
+        the host sampler keep up with the device step on few-core hosts.
+        RNG draws are batched, so the stream differs from n `sample()`
+        calls; the distribution is identical.
+        """
+        self.sample_count += n
+        rng = self.rng
+        synth2 = self.family.style == 'synth2'
+
+        flips = (rng.integers(2, size=n) > 0) if self.random_hflip \
+            else np.zeros(n, bool)
+
+        raws = []
+        row_frames = []  # (frames, seq_poses) per row, for negatives
+        pose1 = np.empty((n, 17, 3), np.float32)
+        pose2 = np.empty((n, 17, 3), np.float32)
+        proj1, proj2 = [], []
+        for i in range(n):
+            key, frames = self._choice(self.sequences)
+            seq_poses = self.poses_3d[key]
+            _, idx, cams = self._valid_frame(frames, seq_poses)
+            raws.append(seq_poses[idx][-1])
+            row_frames.append((frames, seq_poses))
+            if synth2:
+                if self._should_project():
+                    proj1.append(i)
+                else:
+                    pose1[i] = cams[0][1]
+                proj2.append(i)
+            else:
+                if len(cams) > 1:
+                    a, b = rng.choice(len(cams), 2, replace=False)
+                else:
+                    a = b = 0
+                if self._should_project():
+                    proj1.append(i)
+                else:
+                    pose1[i] = cams[a][1]
+                if self._should_project():
+                    proj2.append(i)
+                else:
+                    pose2[i] = cams[b][1]
+        raws = np.stack(raws)  # (n, E, 3)
+
+        flipped_raws = self.spec.flip_offsets(raws)
+        abs_offsets = np.where(flips[:, None, None], flipped_raws, raws)
+
+        if proj1:
+            pose1[proj1] = random_project_offsets_batch(
+                self.spec, raws[proj1], rng)
+        if proj2:
+            pose2[proj2] = random_project_offsets_batch(
+                self.spec, raws[proj2], rng)
+
+        # ---- negatives: batched rejection rounds --------------------------
+        norm_abs = normalize_3d_offsets(abs_offsets)[0]
+        neg_pose = np.zeros((n, 17, 3), np.float32)
+        neg_flip = np.zeros(n, bool)
+        neg_valid = np.zeros(n, np.float32)
+        unresolved = list(range(n))
+        for _ in range(MAX_NEG_SAMPLE_TRIES):
+            if not unresolved:
+                break
+            cand_rows, cand_raws = [], []
+            for i in unresolved:
+                frames, seq_poses = row_frames[i]
+                frame_num, cams = self._choice(frames)
+                idx = self.family.pose3d_index(frame_num)
+                if 0 <= idx < len(seq_poses):
+                    cand_rows.append((i, cams))
+                    cand_raws.append(seq_poses[idx][-1])
+            if not cand_rows:
+                continue
+            cand_raws = np.stack(cand_raws)
+            cflips = (rng.integers(2, size=len(cand_rows)) > 0) \
+                if self.random_hflip else np.zeros(len(cand_rows), bool)
+            cand_abs = np.where(cflips[:, None, None],
+                                self.spec.flip_offsets(cand_raws),
+                                cand_raws)
+            rows_idx = np.array([i for i, _ in cand_rows])
+            ok = neg_sample_valid_batch(
+                normalize_3d_offsets(cand_abs)[0], norm_abs[rows_idx])
+            proj_rows, proj_src = [], []
+            for k, (i, cams) in enumerate(cand_rows):
+                if not ok[k]:
+                    continue
+                neg_flip[i] = cflips[k]
+                neg_valid[i] = 1
+                if synth2 or self._should_project():
+                    proj_rows.append(i)
+                    proj_src.append(cand_raws[k])
+                else:
+                    neg_pose[i] = self._choice(cams)[1]
+                unresolved.remove(i)
+            if proj_rows:
+                neg_pose[proj_rows] = random_project_offsets_batch(
+                    self.spec, np.stack(proj_src), rng)
+        self.neg_fail_count += len(unresolved)
+
+        # ---- batched 2D normalization + 3D features -----------------------
+        all_poses = np.concatenate([pose1, pose2, neg_pose], axis=0)
+        all_flips = np.concatenate([flips, flips, neg_flip])
+        norm = normalize_2d_skeleton_batch(
+            all_poses, all_flips, include_bone_features=self.embed_bones)
+        n1, n2, nn = norm[:n], norm[n:2 * n], norm[2 * n:].copy()
+        nn[neg_valid == 0] = 0  # sample() returns exact zeros when invalid
+
+        return {
+            'pose1': n1,
+            'pose2': n2,
+            'pose_neg': nn,
+            'neg_valid': neg_valid,
+            'kp_features': get_3d_features(
+                abs_offsets, self.spec,
+                include_extremities=USE_EXTREMITIES,
+                include_root_directions=USE_ROOT_DIRECTIONS
+            ).astype(np.float32),
+        }
+
     def get_sequence(self, index, stride=25):
         """Strided eval sequence for preview rendering (parity with the
         reference get_sequence methods)."""
@@ -300,30 +427,35 @@ class FusedBatcher:
         self.max_kp_dim = max(self.kp_dims) if self.kp_dims else 0
 
     def next_batch(self):
-        rows = defaultdict(list)
+        blocks = defaultdict(list)
         for ds_id, (sampler, n) in enumerate(
                 zip(self.samplers, self.rows)):
-            for _ in range(n):
-                s = sampler.sample()
-                pose1 = s['pose1'].reshape(-1)
-                rows['pose1'].append(pose1)
-                rows['pose2'].append(s['pose2'].reshape(-1))
-                if 'pose_neg' in s:
-                    rows['pose_neg'].append(s['pose_neg'].reshape(-1))
-                    rows['neg_valid'].append(s['neg_valid'])
-                else:
-                    rows['pose_neg'].append(np.zeros_like(pose1))
-                    rows['neg_valid'].append(np.float32(0))
-                kp = np.zeros(self.max_kp_dim, dtype=np.float32)
-                if 'kp_features' in s:
-                    flat = s['kp_features'].reshape(-1)
-                    kp[:flat.shape[0]] = flat
-                    rows['has_3d'].append(np.float32(1))
-                else:
-                    rows['has_3d'].append(np.float32(0))
-                rows['kp_features'].append(kp)
-                rows['dataset_id'].append(np.int32(ds_id))
-        return {k: np.stack(v) for k, v in rows.items()}
+            if hasattr(sampler, 'sample_batch'):
+                s = sampler.sample_batch(n)
+            else:  # per-sample path (PairwiseSampler); stack to a block
+                drawn = [sampler.sample() for _ in range(n)]
+                s = {k: np.stack([d[k] for d in drawn])
+                     for k in drawn[0]}
+            pose1 = s['pose1'].reshape(n, -1)
+            blocks['pose1'].append(pose1)
+            blocks['pose2'].append(s['pose2'].reshape(n, -1))
+            if 'pose_neg' in s:
+                blocks['pose_neg'].append(s['pose_neg'].reshape(n, -1))
+                blocks['neg_valid'].append(
+                    np.asarray(s['neg_valid'], np.float32))
+            else:
+                blocks['pose_neg'].append(np.zeros_like(pose1))
+                blocks['neg_valid'].append(np.zeros(n, np.float32))
+            kp = np.zeros((n, self.max_kp_dim), dtype=np.float32)
+            if 'kp_features' in s:
+                flat = s['kp_features'].reshape(n, -1)
+                kp[:, :flat.shape[1]] = flat
+                blocks['has_3d'].append(np.ones(n, np.float32))
+            else:
+                blocks['has_3d'].append(np.zeros(n, np.float32))
+            blocks['kp_features'].append(kp)
+            blocks['dataset_id'].append(np.full(n, ds_id, np.int32))
+        return {k: np.concatenate(v) for k, v in blocks.items()}
 
     def kp_mask(self):
         """(num_datasets, max_kp_dim) column mask for the MSE."""

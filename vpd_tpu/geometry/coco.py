@@ -85,6 +85,43 @@ def normalize_2d_skeleton(kp, flip, zero_confs=False,
     return kp
 
 
+_BONE_A = np.array([a for a, _ in COCO_BONES])
+_BONE_B = np.array([b for _, b in COCO_BONES])
+
+
+def normalize_2d_skeleton_batch(kps, flips, zero_confs=False,
+                                include_bone_features=False):
+    """Batched numpy `normalize_2d_skeleton`: (N, 17, 3) poses + (N,) flip
+    flags → (N, 13[+bones], 3) float32 (vectorized host sampler path)."""
+    kp = np.array(kps, dtype=np.float32)
+    flips = np.asarray(flips, dtype=bool)
+
+    kp[..., :2] -= (kp[:, None, 11, :2] + kp[:, None, 12, :2]) / 2
+
+    torso = kp[:, COCO_TORSO_POINTS, :2]
+    diffs = torso[:, _TP_A] - torso[:, _TP_B]
+    max_torso_dist = np.sqrt((diffs * diffs).sum(-1)).max(-1)
+    max_torso_dist[max_torso_dist == 0] = 1
+    kp[..., :2] *= (0.5 / max_torso_dist)[:, None, None]
+
+    flipped = kp[:, COCO_FLIP_IDXS, :].copy()
+    flipped[..., 0] *= -1
+    kp = np.where(flips[:, None, None], flipped, kp)
+
+    if zero_confs:
+        kp[..., 2] = 0
+    else:
+        kp[..., 2] -= 0.5
+
+    if include_bone_features:
+        bone_xy = kp[:, _BONE_A, :2] - kp[:, _BONE_B, :2]
+        bone_c = (kp[:, _BONE_A, 2] + kp[:, _BONE_B, 2]) / 2
+        bones = np.concatenate([bone_xy, bone_c[..., None]], axis=-1)
+        return np.concatenate(
+            [kp[:, COCO_POINT_IDXS, :], bones], axis=1).astype(np.float32)
+    return np.ascontiguousarray(kp[:, COCO_POINT_IDXS, :])
+
+
 if _HAS_JAX:
 
     def _normalize_2d_one(kp, flip, zero_confs, include_bone_features):

@@ -15,9 +15,9 @@ NEG_SAMPLE_JOINT_COS_THRESHOLD = math.cos(math.radians(45))
 
 
 def normalize_3d_offsets(kp_offsets):
-    """Row-normalize (E, 3) offsets; returns (unit_offsets, lengths)."""
-    kp_dists = np.linalg.norm(kp_offsets, axis=1)
-    return kp_offsets / kp_dists[:, None], kp_dists
+    """Row-normalize (..., E, 3) offsets; returns (unit_offsets, lengths)."""
+    kp_dists = np.linalg.norm(kp_offsets, axis=-1)
+    return kp_offsets / kp_dists[..., None], kp_dists
 
 
 def is_good_3d_neg_sample(a, b, ignore=None):
@@ -29,21 +29,28 @@ def is_good_3d_neg_sample(a, b, ignore=None):
     return np.min(dot) <= NEG_SAMPLE_JOINT_COS_THRESHOLD
 
 
+def neg_sample_valid_batch(a, b):
+    """Batched `is_good_3d_neg_sample`: (N, E, 3) vs (N, E, 3) → (N,) bool."""
+    dot = np.sum(a * b, axis=-1)
+    return np.min(dot, axis=-1) <= NEG_SAMPLE_JOINT_COS_THRESHOLD
+
+
 def get_3d_features(abs_kp_offsets, spec, include_extremities=False,
                     include_root_directions=True):
-    """(E, 3) raw offsets + SkeletonSpec → (E, F) decoder target features."""
+    """(..., E, 3) raw offsets + SkeletonSpec → (..., E, F) decoder target
+    features (leading batch dims supported for the vectorized sampler)."""
     norm_kp_offsets = normalize_3d_offsets(abs_kp_offsets)[0]
     feats = [
         norm_kp_offsets,
-        np.arccos(np.clip(spec.parent_cossim(norm_kp_offsets), -1., 1.)
-                  ).reshape(-1, 1) / np.pi - 0.5,
+        (np.arccos(np.clip(spec.parent_cossim(norm_kp_offsets), -1., 1.))
+         / np.pi - 0.5)[..., None],
     ]
     if include_root_directions:
         feats.append(normalize_3d_offsets(
             spec.decode_positions(abs_kp_offsets))[0])
-    feats = np.hstack(feats)
+    feats = np.concatenate(feats, axis=-1)
     if not include_extremities:
-        feats[list(spec.extremity_rows), :] = 0
+        feats[..., list(spec.extremity_rows), :] = 0
     return feats
 
 

@@ -147,35 +147,43 @@ class SkeletonSpec:
                 mat[row, self._joint_index[s]] += 1. / len(sources)
         return mat
 
-    # ---- geometry ops (numpy; all are trivially jax.numpy-compatible) ----
+    # ---- geometry ops (numpy; all accept an optional leading batch dim,
+    # i.e. (..., E, 3) stacks, for the vectorized host sampler) ----
 
     def encode_offsets(self, positions):
-        """(J, 3) joint positions → (E, 3) parent-relative offsets."""
+        """(..., J, 3) joint positions → (..., E, 3) parent-relative
+        offsets."""
         positions = np.asarray(positions)
-        return positions[self.child_idx] - positions[self.parent_idx]
+        return (positions[..., self.child_idx, :]
+                - positions[..., self.parent_idx, :])
 
     def decode_positions(self, offsets):
-        """(E, 3) offsets → (J-1, 3) root-relative positions of joints[1:]."""
+        """(..., E, 3) offsets → (..., J-1, 3) root-relative positions of
+        joints[1:] (matmul broadcasts over leading dims)."""
         return self.path_matrix @ np.asarray(offsets)
 
     def decode_all_positions(self, offsets):
-        """(E, 3) offsets → (J, 3) positions including the root at zero."""
-        out = np.zeros((self.num_joints, offsets.shape[-1]))
-        out[1:] = self.decode_positions(offsets)
+        """(..., E, 3) offsets → (..., J, 3) positions incl. root at zero."""
+        offsets = np.asarray(offsets)
+        out = np.zeros(offsets.shape[:-2]
+                       + (self.num_joints, offsets.shape[-1]))
+        out[..., 1:, :] = self.decode_positions(offsets)
         return out
 
     def parent_cossim(self, normed_offsets):
         """Cosine similarity of each (unit) edge offset with its predecessor
         edge; the spine edge pairs with itself, yielding exactly 1."""
         normed_offsets = np.asarray(normed_offsets)
-        return np.sum(normed_offsets[self.pred_edge] * normed_offsets, axis=-1)
+        return np.sum(normed_offsets[..., self.pred_edge, :]
+                      * normed_offsets, axis=-1)
 
     def flip_offsets(self, offsets):
-        """Mirror a (E, 3) offset stack: permute rows, negate x."""
-        flipped = np.asarray(offsets)[self.xflip_rows].copy()
-        flipped[:, 0] = -flipped[:, 0]
+        """Mirror a (..., E, 3) offset stack: permute rows, negate x."""
+        flipped = np.asarray(offsets)[..., self.xflip_rows, :].copy()
+        flipped[..., 0] = -flipped[..., 0]
         return flipped
 
     def project_coco(self, offsets):
-        """(E, 3) offsets → (17, 3) COCO joint positions for synthetic views."""
+        """(..., E, 3) offsets → (..., 17, 3) COCO joint positions for
+        synthetic views."""
         return self.coco_avg_matrix @ self.decode_all_positions(offsets)

@@ -137,27 +137,46 @@ def scan_tennis_crop_dir(video_dir, crop_dir):
 
 def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
               flow_img_name=None, jitter=0, no_flip=False,
-              batch_size=EXTRACT_BATCH, mesh=None, log=print):
+              batch_size=EXTRACT_BATCH, mesh=None, log=print,
+              prepared=None, embed_fn=None):
     """Extraction; pass a `Mesh` to shard batches across chips (inference
-    fan-out: sharded batch embed + host gather, SURVEY.md §2.8)."""
-    model, variables, config = load_student_dir(model_dir, model_epoch)
+    fan-out: sharded batch embed + host gather, SURVEY.md §2.8).
+
+    `prepared=(model, variables, config)` and `embed_fn` let repeated
+    calls in one process reuse the loaded weights and the compiled embed
+    program instead of re-tracing per invocation.
+    """
+    model, variables, config = (prepared if prepared is not None
+                                else load_student_dir(model_dir,
+                                                      model_epoch))
     if config['use_flow']:
         assert flow_img_name, 'model uses flow; pass flow_img_name'
     img_dim = config['img_dim']
-    embed = make_variant_embed(model, variables, config, jitter=jitter,
-                               flip=not no_flip)
+    embed = embed_fn if embed_fn is not None else make_variant_embed(
+        model, variables, config, jitter=jitter, flip=not no_flip)
     rng = jax.random.key(0)
 
     def decode_chunk(chunk):
         rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
-        flow = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        # No flow buffer for 3-channel models: a zero (B, S, S, 3) array
+        # would double the host->device bytes on upload-bound links.
+        flow = (np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+                if config['use_flow'] else None)
         crops_mod.decode_crop_batch(
             [prefix + '.png' for _, _, prefix in chunk], img_dim,
             flow_paths=(['{}.{}.png'.format(prefix, flow_img_name)
                          for _, _, prefix in chunk]
                         if config['use_flow'] else None),
-            rgb_out=rgb, flow_out=flow if config['use_flow'] else None)
-        return rgb, flow
+            rgb_out=rgb, flow_out=flow)
+        if mesh is not None:
+            from ..core.mesh import shard_batch
+
+            return shard_batch((rgb, flow), mesh)
+        # Start the H2D transfer from the decode-ahead worker thread so
+        # upload overlaps the in-flight device compute (upload is the
+        # bottleneck on slow links; decode is on fast ones).
+        return (jax.device_put(rgb),
+                jax.device_put(flow) if flow is not None else None)
 
     chunks = [tasks[i:i + batch_size]
               for i in range(0, len(tasks), batch_size)]
@@ -165,10 +184,6 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
 
     def compute(host):
         rgb, flow = host
-        if mesh is not None:
-            from ..core.mesh import shard_batch
-
-            rgb, flow = shard_batch((rgb, flow), mesh)
         return embed(rgb, flow, rng)
 
     def collect(chunk, dev_out):
