@@ -113,24 +113,37 @@ def color_jitter(rgb, key, brightness=0.2, contrast=0.2, saturation=0.05,
     return _hsv_to_rgb(hsv)
 
 
+def _interp_matrix(coords, size):
+    """(out,) float source coords -> (out, size) bilinear weight rows.
+
+    Each row holds (1-w) at floor(coord) and w at floor(coord)+1 (border
+    clamped; a clamped pair collapses onto one index summing to 1). Built
+    from iota comparisons — no gathers, so the resample below lowers to
+    MXU matmuls instead of per-sample TPU gathers under vmap.
+    """
+    i = jnp.arange(size)
+    c0 = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, size - 1)
+    c1 = jnp.clip(c0 + 1, 0, size - 1)
+    w = jnp.clip(coords - c0, 0., 1.)
+    m0 = (i[None, :] == c0[:, None]) * (1. - w)[:, None]
+    m1 = (i[None, :] == c1[:, None]) * w[:, None]
+    return m0 + m1
+
+
 def bilinear_resample(img, top, left, crop_h, crop_w, out_h, out_w):
-    """Crop (top, left, crop_h, crop_w) from (H, W, C), resize bilinear."""
+    """Crop (top, left, crop_h, crop_w) from (H, W, C), resize bilinear.
+
+    Separable: out = Wy @ img @ Wx^T with per-sample interpolation weight
+    matrices, i.e. two matmuls that batch onto the MXU under vmap (the
+    gather formulation was ~10x slower at train batch sizes).
+    """
     h, w = img.shape[0], img.shape[1]
     ys = top + (jnp.arange(out_h) + 0.5) * crop_h / out_h - 0.5
     xs = left + (jnp.arange(out_w) + 0.5) * crop_w / out_w - 0.5
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = jnp.clip(ys - y0, 0., 1.)[:, None, None]
-    wx = jnp.clip(xs - x0, 0., 1.)[None, :, None]
-
-    a = img[y0][:, x0]
-    b = img[y0][:, x1]
-    c = img[y1][:, x0]
-    d = img[y1][:, x1]
-    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
-            + c * wy * (1 - wx) + d * wy * wx)
+    wy = _interp_matrix(ys, h)  # (out_h, h)
+    wx = _interp_matrix(xs, w)  # (out_w, w)
+    tmp = jnp.einsum('iy,yxc->ixc', wy, img)
+    return jnp.einsum('jx,ixc->ijc', wx, tmp)
 
 
 def random_resized_crop(img, key, out_size, scale=(0.5, 1.0),

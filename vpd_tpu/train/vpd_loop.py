@@ -114,15 +114,19 @@ class VPDTrainer:
         ckpt.save_bundle(self.save_dir, name, self._components())
 
     def _epoch(self, source, train):
-        total, n = 0., 0.
+        # Metrics stay on device until the epoch ends: a float() per step
+        # would force a host sync per dispatch (~27 ms on relay-attached
+        # hosts), serializing steps that otherwise pipeline.
+        metrics = []
         for _ in range(source.num_batches):
             batch = shard_batch(source.next_batch(), self.mesh)
             if train:
                 self.state, m = self.train_step(self.state, batch, self.rng)
             else:
                 m = self.eval_step(self.state, batch)
-            total += float(m['emb_loss_sum'])
-            n += float(m['n'])
+            metrics.append(m)
+        total = sum(float(m['emb_loss_sum']) for m in metrics)
+        n = sum(float(m['n']) for m in metrics)
         return total / max(n, 1)
 
     def train_one_epoch(self, epoch):
