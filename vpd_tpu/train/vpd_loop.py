@@ -73,6 +73,16 @@ class VPDTrainer:
         initialized (`replace_last_layer`, models/rgb.py:40-43).
         """
         arch = self.config['encoder_arch']
+        if 'resnet' not in arch:
+            # Reference parity: the effnet path uses
+            # EfficientNet.from_name (models/rgb.py:62-66), which IGNORES
+            # pretrained — effnet students always train from random init.
+            import warnings
+            warnings.warn(
+                'pretrained=True is ignored for {} (reference parity: '
+                'models/rgb.py:62-66 builds effnet with from_name, i.e. '
+                'random init)'.format(arch))
+            return
         if weights_path is None:
             raise ValueError(
                 "pretrained=True requires ImageNet weights: pass "
@@ -80,10 +90,6 @@ class VPDTrainer:
                 "environment has no torchvision/network access, so the "
                 "file must be supplied; without it the reference "
                 "semantics of --pretrained cannot be honored)".format(arch))
-        if 'resnet' not in arch:
-            raise NotImplementedError(
-                'pretrained init is only wired for resnet archs, '
-                'got ' + arch)
         from ..models.torch_compat import (imagenet_init_variables,
                                            load_torch_state_dict)
         sd = (load_torch_state_dict(weights_path)
