@@ -11,6 +11,7 @@ with a validity mask (no dynamic shapes, no re-compiles for the last
 batch); lr/weight-decay arrive as traced scalars from the host schedule.
 """
 
+import functools
 import math
 
 import jax
@@ -20,6 +21,65 @@ import optax
 
 from ..core.schedule import CyclicCosineRestarts
 from ..models.gru import CNNClassifier, SeqClassifier
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_tx():
+    """One AdamW instance for every classifier head: lr and weight decay
+    are injected per step, so a single transformation (and therefore a
+    single jit cache entry per model config) serves all trials."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_train_step(model):
+    """Jitted train step keyed on the (hashable) flax module config.
+
+    Few-shot sweeps construct a fresh SeqModelTrainer per trial; fresh
+    jitted closures would recompile the RNN graph every trial (~minutes
+    per compile on relay-attached TPU hosts). Sharing one jitted step per
+    model config compiles once per (shape, config) across the sweep.
+    """
+    tx = _shared_tx()
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x, lengths, y, valid,
+             lr, wd, rng, step_i):
+        rng = jax.random.fold_in(rng, step_i)
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {'params': p, 'batch_stats': batch_stats},
+                x, lengths, train=True, mutable=['batch_stats'],
+                rngs={'dropout': rng})
+            logp = jax.nn.log_softmax(out)
+            nll = -jnp.take_along_axis(
+                logp, y[:, None], axis=1).squeeze(1)
+            loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+            correct = jnp.sum(
+                (jnp.argmax(out, 1) == y) * valid)
+            return loss, (mut['batch_stats'], correct)
+
+        (loss, (new_stats, correct)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        opt_state.hyperparams['learning_rate'] = lr
+        opt_state.hyperparams['weight_decay'] = wd
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_stats,
+                new_opt, loss, correct)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_logits_fn(model):
+    @jax.jit
+    def logits(params, batch_stats, x, lengths):
+        return model.apply({'params': params, 'batch_stats': batch_stats},
+                           x, lengths, train=False)
+
+    return logits
 
 
 def pad_sequences(X, max_len=None):
@@ -73,17 +133,14 @@ class SeqModelTrainer:
             self.load(load_weights)
             return
 
-        tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-            weight_decay=0.01)
+        tx = _shared_tx()
         opt_state = tx.init(self.params)
-        self.tx = tx
 
         sched = CyclicCosineRestarts(
             learning_rate, 0.01, batch_size, len(X),
             restart_period=max(1, num_epochs // wr_count))
 
-        train_step = self._make_train_step()
+        train_step = _cached_train_step(self.model)
         eval_logits = self._make_logits_fn()
         dropout_key = jax.random.key(seed + 1)
 
@@ -98,25 +155,29 @@ class SeqModelTrainer:
         for epoch in range(num_epochs):
             sched.epoch_start()
             order = self.rng.permutation(len(Xp))
-            ep_loss, ep_correct, n = 0., 0, 0
+            step_outs = []  # device values; sync once per epoch, not per step
+            n = 0
             for i in range(0, len(order), batch_size):
                 idx = order[i:i + batch_size]
                 pad = batch_size - len(idx)
                 idx_p = np.concatenate([idx, np.zeros(pad, np.int64)]) \
                     if pad else idx
                 valid = np.arange(batch_size) < len(idx)
-                step_key = jax.random.fold_in(dropout_key, step_i)
+                # lr/wd/step go in as host scalars; fold_in happens inside
+                # the jit — eager per-step ops would each be a separate
+                # device dispatch (ruinous on relay-attached hosts).
                 step_i += 1
                 (self.params, self.batch_stats, opt_state, loss,
                  correct) = train_step(
                     self.params, self.batch_stats, opt_state,
                     Xp[idx_p], lens[idx_p], yp[idx_p], valid,
-                    jnp.float32(sched.lr), jnp.float32(sched.weight_decay),
-                    step_key)
+                    np.float32(sched.lr), np.float32(sched.weight_decay),
+                    dropout_key, np.int32(step_i))
                 sched.batch_step()
-                ep_loss += float(loss)
-                ep_correct += int(correct)
+                step_outs.append((loss, correct))
                 n += len(idx)
+            ep_loss = sum(float(l) for l, _ in step_outs)
+            ep_correct = sum(int(c) for _, c in step_outs)
             acc = ep_correct / n
 
             if X_val is not None and epoch % val_freq == 0:
@@ -142,44 +203,8 @@ class SeqModelTrainer:
 
     # -- jitted pieces ------------------------------------------------------
 
-    def _make_train_step(self):
-        model, tx = self.model, self.tx
-
-        @jax.jit
-        def step(params, batch_stats, opt_state, x, lengths, y, valid,
-                 lr, wd, rng):
-            def loss_fn(p):
-                out, mut = model.apply(
-                    {'params': p, 'batch_stats': batch_stats},
-                    x, lengths, train=True, mutable=['batch_stats'],
-                    rngs={'dropout': rng})
-                logp = jax.nn.log_softmax(out)
-                nll = -jnp.take_along_axis(
-                    logp, y[:, None], axis=1).squeeze(1)
-                loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
-                correct = jnp.sum(
-                    (jnp.argmax(out, 1) == y) * valid)
-                return loss, (mut['batch_stats'], correct)
-
-            (loss, (new_stats, correct)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            opt_state.hyperparams['learning_rate'] = lr
-            opt_state.hyperparams['weight_decay'] = wd
-            updates, new_opt = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_stats,
-                    new_opt, loss, correct)
-
-        return step
-
     def _make_logits_fn(self):
-        model = self.model
-
-        @jax.jit
-        def logits(params, batch_stats, x, lengths):
-            return model.apply({'params': params, 'batch_stats': batch_stats},
-                               x, lengths, train=False)
-
-        return logits
+        return _cached_logits_fn(self.model)
 
     def _evaluate(self, logits_fn, X, lengths, y):
         total_loss, correct = 0., 0

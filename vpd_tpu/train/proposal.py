@@ -13,6 +13,8 @@ TPU notes: train windows are fixed-length (static shapes by construction);
 full-video prediction pads the time axis to power-of-2 buckets.
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -24,6 +26,75 @@ from ..models.gru import BiRNN
 
 NUM_TRAIN_EPOCHS = 25
 MIN_TRAIN_EPOCHS = 10
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_tx():
+    return optax.adamw(1e-3, weight_decay=0.01)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_train_step(model):
+    """One jitted step per (hashable) model config: the KFold x flip
+    ensemble constructs many ProposalTrainers with identical configs, and
+    fresh jitted closures would recompile the BiGRU graph per member."""
+    tx = _shared_tx()
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x, y, rng, step_i):
+        rng = jax.random.fold_in(rng, step_i)
+        lengths = jnp.full((x.shape[0],), x.shape[1])
+
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {'params': p, 'batch_stats': batch_stats}, x, lengths,
+                train=True, mutable=['batch_stats'],
+                rngs={'dropout': rng})
+            flat = logits.reshape(-1, 2)
+            yf = y.reshape(-1)
+            loss = jnp.mean(
+                -jnp.take_along_axis(jax.nn.log_softmax(flat),
+                                     yf[:, None], axis=1))
+            correct = jnp.sum(jnp.argmax(flat, 1) == yf)
+            return loss, (mut['batch_stats'], correct)
+
+        (loss, (new_stats, correct)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_stats,
+                new_opt, loss, correct)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_eval_fn(model):
+    @jax.jit
+    def fn(params, batch_stats, x, y):
+        lengths = jnp.full((x.shape[0],), x.shape[1])
+        logits = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, x, lengths,
+            train=False)
+        flat = logits.reshape(-1, 2)
+        yf = y.reshape(-1)
+        loss = jnp.mean(
+            -jnp.take_along_axis(jax.nn.log_softmax(flat),
+                                 yf[:, None], axis=1))
+        return loss, jnp.sum(jnp.argmax(flat, 1) == yf)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_predict_fn(model):
+    @jax.jit
+    def fn(params, batch_stats, x, lengths):
+        logits = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, x, lengths,
+            train=False)
+        return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+    return fn
 
 
 class ProposalSeq(nn.Module):
@@ -96,7 +167,7 @@ class ProposalTrainer:
             jnp.zeros((1, seq_len, emb_dim)), jnp.full((1,), seq_len))
         self.params = variables['params']
         self.batch_stats = variables.get('batch_stats', {})
-        tx = optax.adamw(1e-3, weight_decay=0.01)
+        tx = _shared_tx()
         opt_state = tx.init(self.params)
 
         train_step = self._make_train_step(tx)
@@ -113,28 +184,33 @@ class ProposalTrainer:
         steps_per_epoch = samples_per_epoch // batch_size
         step_i = 0
         for epoch in range(num_epochs):
-            ep_loss, correct, total = 0., 0, 0
+            step_outs = []  # device values; sync once per epoch
+            total = 0
             for _ in range(steps_per_epoch):
                 xb, yb = sampler.batch(batch_size)
-                key = jax.random.fold_in(dropout_key, step_i)
+                # fold_in happens inside the jit: an eager per-step op is
+                # a separate device dispatch (ruinous on relay hosts)
                 step_i += 1
                 (self.params, self.batch_stats, opt_state, loss,
                  corr) = train_step(self.params, self.batch_stats,
-                                    opt_state, xb, yb, key)
-                ep_loss += float(loss)
-                correct += int(corr)
+                                    opt_state, xb, yb, dropout_key,
+                                    np.int32(step_i))
+                step_outs.append((loss, corr))
                 total += yb.size
+            ep_loss = sum(float(l) for l, _ in step_outs)
+            correct = sum(int(c) for _, c in step_outs)
             acc = correct / total
 
             if val_sampler is not None:
-                v_correct, v_total, v_loss = 0, 0, 0.
+                v_outs = []
+                v_total = 0
                 for _ in range(max(1, steps_per_epoch // 5)):
                     xb, yb = val_sampler.batch(batch_size)
-                    loss, corr = eval_fn(self.params, self.batch_stats,
-                                         xb, yb)
-                    v_loss += float(loss)
-                    v_correct += int(corr)
+                    v_outs.append(eval_fn(self.params, self.batch_stats,
+                                          xb, yb))
                     v_total += yb.size
+                v_loss = sum(float(l) for l, _ in v_outs)
+                v_correct = sum(int(c) for _, c in v_outs)
                 val_acc = v_correct / v_total
                 if (1 - val_acc, v_loss) <= best_val_err_loss:
                     best_val_epoch = epoch
@@ -157,62 +233,14 @@ class ProposalTrainer:
         self._predict_fn = self._make_predict_fn()
 
     def _make_train_step(self, tx):
-        model = self.model
-
-        @jax.jit
-        def step(params, batch_stats, opt_state, x, y, rng):
-            lengths = jnp.full((x.shape[0],), x.shape[1])
-
-            def loss_fn(p):
-                logits, mut = model.apply(
-                    {'params': p, 'batch_stats': batch_stats}, x, lengths,
-                    train=True, mutable=['batch_stats'],
-                    rngs={'dropout': rng})
-                flat = logits.reshape(-1, 2)
-                yf = y.reshape(-1)
-                loss = jnp.mean(
-                    -jnp.take_along_axis(jax.nn.log_softmax(flat),
-                                         yf[:, None], axis=1))
-                correct = jnp.sum(jnp.argmax(flat, 1) == yf)
-                return loss, (mut['batch_stats'], correct)
-
-            (loss, (new_stats, correct)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_stats,
-                    new_opt, loss, correct)
-
-        return step
+        assert tx is _shared_tx()
+        return _cached_train_step(self.model)
 
     def _make_eval_fn(self):
-        model = self.model
-
-        @jax.jit
-        def fn(params, batch_stats, x, y):
-            lengths = jnp.full((x.shape[0],), x.shape[1])
-            logits = model.apply(
-                {'params': params, 'batch_stats': batch_stats}, x, lengths,
-                train=False)
-            flat = logits.reshape(-1, 2)
-            yf = y.reshape(-1)
-            loss = jnp.mean(
-                -jnp.take_along_axis(jax.nn.log_softmax(flat),
-                                     yf[:, None], axis=1))
-            return loss, jnp.sum(jnp.argmax(flat, 1) == yf)
-
-        return fn
+        return _cached_eval_fn(self.model)
 
     def _make_predict_fn(self):
-        model = self.model
-
-        @jax.jit
-        def fn(params, batch_stats, x, lengths):
-            logits = model.apply(
-                {'params': params, 'batch_stats': batch_stats}, x, lengths,
-                train=False)
-            return jax.nn.softmax(logits, axis=-1)[..., 1]
-
-        return fn
+        return _cached_predict_fn(self.model)
 
     def predict(self, x):
         """Per-frame P(action) for one (T, D) sequence."""
