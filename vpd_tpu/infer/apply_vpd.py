@@ -152,6 +152,10 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
     if config['use_flow']:
         assert flow_img_name, 'model uses flow; pass flow_img_name'
     img_dim = config['img_dim']
+    if embed_fn is not None and (jitter != 0 or no_flip):
+        raise ValueError(
+            'embed_fn bakes in its own jitter/flip variant set; passing '
+            'jitter/no_flip alongside it would be silently ignored')
     embed = embed_fn if embed_fn is not None else make_variant_embed(
         model, variables, config, jitter=jitter, flip=not no_flip)
     rng = jax.random.key(0)

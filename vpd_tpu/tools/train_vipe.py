@@ -100,14 +100,29 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         dataset = DATASETS_3D
     assert dataset, 'no datasets selected'
 
-    mesh = None
-    if tensor_parallel > 1:
-        from ..core.mesh import get_mesh_2d
-        mesh = get_mesh_2d(tensor_parallel)
+    if num_workers > 0:
+        # Fork safety: MultiprocessBatcher workers must fork BEFORE any
+        # jax backend initializes (XLA/libtpu clients are not fork-safe;
+        # workers run pure numpy). Probe the device count in a throwaway
+        # subprocess so the mesh can be built after the workers fork.
+        import subprocess
+        import sys
+
+        probe = subprocess.run(
+            [sys.executable, '-c', 'import jax; print(jax.device_count())'],
+            capture_output=True, text=True)
+        n_dev = (int(probe.stdout.strip().splitlines()[-1])
+                 if probe.returncode == 0 else 1)
+        data_div = max(1, n_dev // max(tensor_parallel, 1))
+        mesh = None  # built below, after the workers fork
     else:
-        from ..core.mesh import get_mesh
-        mesh = get_mesh()
-    data_div = int(mesh.shape.get('data', 1))
+        if tensor_parallel > 1:
+            from ..core.mesh import get_mesh_2d
+            mesh = get_mesh_2d(tensor_parallel)
+        else:
+            from ..core.mesh import get_mesh
+            mesh = get_mesh()
+        data_div = int(mesh.shape.get('data', 1))
 
     train_samplers, val_samplers, shapes, norms = build_samplers(
         dataset, embed_bones, not no_camera_aug, seed)
@@ -137,6 +152,14 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         val_b = MultiprocessBatcher(
             make_batcher(val_samplers, 104729), max(1, num_workers // 2),
             val_b.num_batches, template=val_b)
+
+    if mesh is None:  # workers have forked; safe to init the backend now
+        if tensor_parallel > 1:
+            from ..core.mesh import get_mesh_2d
+            mesh = get_mesh_2d(tensor_parallel)
+        else:
+            from ..core.mesh import get_mesh
+            mesh = get_mesh()
 
     config = default_config(
         dataset, shapes, norms, num_epochs=num_epochs,

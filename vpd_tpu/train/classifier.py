@@ -32,7 +32,7 @@ def _shared_tx():
         learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _cached_train_step(model):
     """Jitted train step keyed on the (hashable) flax module config.
 
@@ -72,7 +72,7 @@ def _cached_train_step(model):
     return step
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _cached_logits_fn(model):
     @jax.jit
     def logits(params, batch_stats, x, lengths):

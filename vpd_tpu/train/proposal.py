@@ -33,7 +33,7 @@ def _shared_tx():
     return optax.adamw(1e-3, weight_decay=0.01)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _cached_train_step(model):
     """One jitted step per (hashable) model config: the KFold x flip
     ensemble constructs many ProposalTrainers with identical configs, and
@@ -67,7 +67,7 @@ def _cached_train_step(model):
     return step
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _cached_eval_fn(model):
     @jax.jit
     def fn(params, batch_stats, x, y):
@@ -85,7 +85,7 @@ def _cached_eval_fn(model):
     return fn
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _cached_predict_fn(model):
     @jax.jit
     def fn(params, batch_stats, x, lengths):
