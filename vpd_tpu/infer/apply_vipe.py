@@ -153,17 +153,34 @@ def mean_embs_by_frame(pred_embs, flip):
 def apply_vipe(pose_dir, model_dir, out_dir, model_epoch=None,
                min_score=0, no_flip=False, invert=False,
                allow_many_per_frame=False, log=print):
+    from ..core.pipeline import run_pipelined
+
     model, variables, config = load_model_dir(model_dir, model_epoch)
     embed = make_batched_embed(model, variables, config['embed_bones'])
 
     os.makedirs(out_dir, exist_ok=True)
-    for video_name, pose_path in iter_pose_videos(pose_dir):
-        frames, scores, is_flip, kps = collect_video_poses(
+
+    # Pipeline: the gz-JSON parse of video i+1 runs on a worker thread
+    # while video i embeds on device and video i-1's pickle writes —
+    # same streaming pattern as apply_vpd (host parse is the bottleneck
+    # for the MLP teacher).
+    def parse(task):
+        _, pose_path = task
+        return collect_video_poses(
             pose_path, min_score=min_score, augment_flip=not no_flip,
             invert=invert)
+
+    def compute(parsed):
+        frames, scores, is_flip, kps = parsed
         if len(frames) == 0:
-            continue
-        embs_arr = embed(kps, is_flip)
+            return parsed, None
+        return parsed, embed(kps, is_flip)
+
+    def collect(task, result):
+        video_name, _ = task
+        (frames, scores, is_flip, _), embs_arr = result
+        if embs_arr is None:
+            return
         embs = [
             (int(frames[j]), embs_arr[j],
              {'kp_score': float(scores[j]), 'is_mean': False,
@@ -174,3 +191,5 @@ def apply_vipe(pose_dir, model_dir, out_dir, model_epoch=None,
         store_pickle(
             os.path.join(out_dir, '{}.emb.pkl'.format(video_name)), embs)
         log('{}: {} rows'.format(video_name, len(embs)))
+
+    run_pipelined(list(iter_pose_videos(pose_dir)), parse, compute, collect)
