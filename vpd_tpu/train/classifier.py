@@ -176,6 +176,9 @@ class SeqModelTrainer:
                 sched.batch_step()
                 step_outs.append((loss, correct))
                 n += len(idx)
+            from ..core.metrics import fetch_metrics
+
+            step_outs = fetch_metrics(step_outs)  # ONE device readback
             ep_loss = sum(float(l) for l, _ in step_outs)
             ep_correct = sum(int(c) for _, c in step_outs)
             acc = ep_correct / n

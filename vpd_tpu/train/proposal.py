@@ -197,6 +197,9 @@ class ProposalTrainer:
                                     np.int32(step_i))
                 step_outs.append((loss, corr))
                 total += yb.size
+            from ..core.metrics import fetch_metrics
+
+            step_outs = fetch_metrics(step_outs)  # ONE device readback
             ep_loss = sum(float(l) for l, _ in step_outs)
             correct = sum(int(c) for _, c in step_outs)
             acc = correct / total
@@ -209,6 +212,7 @@ class ProposalTrainer:
                     v_outs.append(eval_fn(self.params, self.batch_stats,
                                           xb, yb))
                     v_total += yb.size
+                v_outs = fetch_metrics(v_outs)
                 v_loss = sum(float(l) for l, _ in v_outs)
                 v_correct = sum(int(c) for _, c in v_outs)
                 val_acc = v_correct / v_total

@@ -182,11 +182,13 @@ def run_epoch(batcher, state, step_fn, num_batches, rng=None, train=True):
             metrics = step_fn(state, batch)
         step_metrics.append(metrics)
 
+    from ..core.metrics import fetch_metrics
+
+    step_metrics = fetch_metrics(step_metrics)  # ONE device readback
     total = {'loss_sum': 0., 'contra_sum': 0., 'n': 0.}
     ds_loss = None
     ds_count = None
     for metrics in step_metrics:
-        metrics = jax.tree_util.tree_map(np.asarray, metrics)
         for k in total:
             total[k] += float(metrics[k])
         ds_loss = (metrics['ds_loss_sum'] if ds_loss is None

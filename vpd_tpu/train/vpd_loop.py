@@ -131,6 +131,9 @@ class VPDTrainer:
             else:
                 m = self.eval_step(self.state, batch)
             metrics.append(m)
+        from ..core.metrics import fetch_metrics
+
+        metrics = fetch_metrics(metrics)  # ONE device readback
         total = sum(float(m['emb_loss_sum']) for m in metrics)
         n = sum(float(m['n']) for m in metrics)
         return total / max(n, 1)
