@@ -89,6 +89,20 @@ def shard_batch(batch, mesh, axis_name=DATA_AXIS):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def step_sync_needed(mesh):
+    """True when per-step blocking is required for correctness.
+
+    The CPU backend's in-process communicator deadlocks when two
+    concurrently in-flight sharded programs interleave their collective
+    rendezvous (device threads start program N+1 while others are still
+    in N's all-reduce). Real TPU slices execute programs in order, so
+    async dispatch with deferred metric readback is safe there — this
+    gate serializes steps only on multi-device CPU (tests/dryruns).
+    """
+    return mesh is not None and mesh.size > 1 \
+        and jax.default_backend() == 'cpu'
+
+
 def replicate(tree, mesh):
     """Device-put a pytree fully replicated across the mesh."""
     sharding = replicated(mesh)

@@ -254,11 +254,24 @@ class CropBatchSource:
 
 
 class PrefetchedSource:
-    """Batch-source adapter decoding ahead on a background thread."""
+    """Batch-source adapter decoding ahead on a background thread.
 
-    def __init__(self, source, depth=2):
+    `transform` (e.g. a mesh `shard_batch` partial) runs on the worker
+    thread after decode, so the host->device upload it starts overlaps
+    the in-flight train step instead of serializing with dispatch.
+    """
+
+    def __init__(self, source, depth=2, transform=None):
         self.source = source
-        self._prefetcher = Prefetcher(source, depth)
+        src = source
+        if transform is not None:
+            class _Transformed:
+                num_batches = source.num_batches
+
+                def next_batch(self):
+                    return transform(source.next_batch())
+            src = _Transformed()
+        self._prefetcher = Prefetcher(src, depth)
 
     @property
     def num_batches(self):

@@ -97,18 +97,32 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
                 augment=False, seed=seed + 1 + 1000 * (wid + 1),
                 **src_kwargs)
 
+        # workers fork BEFORE the mesh initializes any jax backend
         train_src = MultiprocessBatcher(
             make_train, num_workers, max(1, 20000 // batch_size))
         val_src = MultiprocessBatcher(
             make_val, max(1, num_workers // 2),
             max(1, 4000 // batch_size))
     else:
-        train_src = PrefetchedSource(CropBatchSource(
+        train_src = CropBatchSource(
             train, crop_dir, img_dim, batch_size, target_len=20000,
-            seed=seed, **src_kwargs))
-        val_src = PrefetchedSource(CropBatchSource(
+            seed=seed, **src_kwargs)
+        val_src = CropBatchSource(
             val, crop_dir, img_dim, batch_size, target_len=4000,
-            augment=False, seed=seed + 1, **src_kwargs))
+            augment=False, seed=seed + 1, **src_kwargs)
+
+    # Single-device mesh: pre-shard on the prefetch thread so the H2D
+    # upload starts while the previous step is in flight (shard_batch on
+    # an already-placed batch is a no-op in the train loop). Multi-device
+    # meshes keep main-thread placement: a multi-device device_put racing
+    # a running collective deadlocks the CPU backend's rendezvous, and
+    # upload overlap matters most on single-chip relay links anyway.
+    from ..core.mesh import get_mesh, shard_batch
+    mesh = get_mesh()
+    to_device = ((lambda b: shard_batch(b, mesh)) if mesh.size == 1
+                 else None)
+    train_src = PrefetchedSource(train_src, transform=to_device)
+    val_src = PrefetchedSource(val_src, transform=to_device)
 
     config = default_config(
         dataset, emb_dim, num_epochs=num_epochs, batch_size=batch_size,
@@ -119,7 +133,8 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
         checkpoint_frequency=checkpoint_frequency)
 
     trainer = VPDTrainer(train_src, val_src, config, save_dir=save_dir,
-                         seed=seed, pretrained_weights=init_weights)
+                         mesh=mesh, seed=seed,
+                         pretrained_weights=init_weights)
     trainer.save_config()
     trainer.fit()
     print('Done!')

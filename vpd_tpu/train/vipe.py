@@ -166,8 +166,13 @@ def make_embed_fn(model):
     return embed
 
 
-def run_epoch(batcher, state, step_fn, num_batches, rng=None, train=True):
-    """Host loop over one virtual epoch; returns (state, epoch metrics)."""
+def run_epoch(batcher, state, step_fn, num_batches, rng=None, train=True,
+              sync=False):
+    """Host loop over one virtual epoch; returns (state, epoch metrics).
+
+    `sync=True` blocks on each step's metrics — required on multi-device
+    CPU where overlapping sharded programs deadlock the in-process
+    collective rendezvous (`core.mesh.step_sync_needed`)."""
     import numpy as np
 
     # Keep metrics on device until the epoch ends: per-step float()/
@@ -180,6 +185,8 @@ def run_epoch(batcher, state, step_fn, num_batches, rng=None, train=True):
             state, metrics = step_fn(state, batch, rng)
         else:
             metrics = step_fn(state, batch)
+        if sync:
+            jax.block_until_ready(metrics['loss_sum'])
         step_metrics.append(metrics)
 
     from ..core.metrics import fetch_metrics

@@ -14,7 +14,7 @@ import numpy as np
 from ..core import checkpoint as ckpt
 from ..core.io import load_json, store_json
 from ..core.mesh import MODEL_AXIS, apply_tensor_parallel, get_mesh, \
-    shard_batch
+    shard_batch, step_sync_needed
 from ..models import FCPoseDecoder, FCResNet
 from .vipe import (VIPEModel, create_state, make_eval_step, make_train_step,
                    run_epoch)
@@ -128,11 +128,13 @@ class VIPETrainer:
                 return self.train_step(state, batch, rng)
             return self.eval_step(state, batch)
 
+        sync = step_sync_needed(self.mesh)
         if train:
             return run_epoch(batcher, self.state, step,
-                             batcher.num_batches, rng=self.rng, train=True)
+                             batcher.num_batches, rng=self.rng, train=True,
+                             sync=sync)
         _, metrics = run_epoch(batcher, self.state, step,
-                               batcher.num_batches, train=False)
+                               batcher.num_batches, train=False, sync=sync)
         return self.state, metrics
 
     def train_one_epoch(self, epoch):

@@ -11,7 +11,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core.io import store_json
-from ..core.mesh import get_mesh, shard_batch
+from ..core.mesh import get_mesh, shard_batch, step_sync_needed
 from ..data.augment import RGB_MEAN_STD
 from ..models import build_encoder
 from .vpd import (MotionHead, VPDStudent, create_state, make_eval_step,
@@ -122,7 +122,9 @@ class VPDTrainer:
     def _epoch(self, source, train):
         # Metrics stay on device until the epoch ends: a float() per step
         # would force a host sync per dispatch (~27 ms on relay-attached
-        # hosts), serializing steps that otherwise pipeline.
+        # hosts), serializing steps that otherwise pipeline. Multi-device
+        # CPU must serialize anyway (collective rendezvous deadlock).
+        sync = step_sync_needed(self.mesh)
         metrics = []
         for _ in range(source.num_batches):
             batch = shard_batch(source.next_batch(), self.mesh)
@@ -130,6 +132,8 @@ class VPDTrainer:
                 self.state, m = self.train_step(self.state, batch, self.rng)
             else:
                 m = self.eval_step(self.state, batch)
+            if sync:
+                jax.block_until_ready(m['emb_loss_sum'])
             metrics.append(m)
         from ..core.metrics import fetch_metrics
 
