@@ -177,3 +177,50 @@ def test_fused_batcher_divisor_snaps_batch():
     assert all(r >= 1 for r in b.rows)
     batch = b.next_batch()
     assert batch['pose1'].shape[0] == b.batch_size
+
+
+def test_prefetched_source_transform_runs_on_worker():
+    import threading
+
+    import numpy as np
+
+    from vpd_tpu.data.crops import PrefetchedSource
+
+    class Source:
+        num_batches = 4
+
+        def __init__(self):
+            self.n = 0
+
+        def next_batch(self):
+            self.n += 1
+            return {'x': np.full(3, self.n)}
+
+    seen_threads = []
+
+    def transform(b):
+        seen_threads.append(threading.current_thread().name)
+        return {'x': b['x'] * 2}
+
+    src = PrefetchedSource(Source(), transform=transform)
+    got = src.next_batch()
+    assert (got['x'] % 2 == 0).all()
+    assert all(t != threading.main_thread().name for t in seen_threads)
+    src.close()
+
+
+def test_fetch_metrics_single_readback_roundtrip():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vpd_tpu.core.metrics import fetch_metrics
+
+    tree = [{'a': jnp.float32(1.5), 'b': jnp.arange(4, dtype=jnp.int32)},
+            {'a': jnp.float32(-2.0), 'b': jnp.ones(4, jnp.float32)}]
+    out = fetch_metrics(tree)
+    assert isinstance(out[0]['a'], np.ndarray) or np.isscalar(out[0]['a'])
+    assert float(out[0]['a']) == 1.5
+    np.testing.assert_allclose(np.asarray(out[0]['b']), [0, 1, 2, 3])
+    assert float(out[1]['a']) == -2.0
+    np.testing.assert_allclose(np.asarray(out[1]['b']), np.ones(4))
+    assert fetch_metrics([]) == []
