@@ -97,6 +97,25 @@ def _cached_predict_fn(model):
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_ensemble_predict_fn(model):
+    """Whole-ensemble prediction as ONE dispatch: vmap the per-frame
+    scorer over stacked member params (the reference loops models x flip
+    variants per video, `util/proposal.py:245-256` — k x 2 serial GPU
+    calls; here all members and variants score in a single program)."""
+
+    @jax.jit
+    def fn(stacked_params, stacked_stats, x, lengths):
+        def one(p, s):
+            logits = model.apply({'params': p, 'batch_stats': s}, x,
+                                 lengths, train=False)
+            return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+        return jax.vmap(one)(stacked_params, stacked_stats)  # (k, n, T)
+
+    return fn
+
+
 class ProposalSeq(nn.Module):
     """BiRNN -> per-frame 2-class head (`util/proposal.py:16-54`)."""
     cell_type: str
@@ -315,10 +334,27 @@ class EnsembleProposal:
             if len(models) >= ensemble_size:
                 break
         self.models = models
+        # Stack member params once; predict_n runs the whole ensemble in
+        # one vmapped dispatch per video.
+        self._stacked_params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[m.params for m in models])
+        self._stacked_stats = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[m.batch_stats for m in models])
+        self._predict_fn = _cached_ensemble_predict_fn(models[0].model)
 
     def predict_n(self, *xs):
-        preds = [m.predict(x) for m in self.models for x in xs]
-        return np.mean(preds, axis=0)
+        """Mean per-frame P(action) over members x variants; variants
+        must share a length (flip copies of one video)."""
+        t = len(xs[0])
+        assert all(len(x) == t for x in xs), [len(x) for x in xs]
+        bucket = max(32, 1 << int(np.ceil(np.log2(max(t, 1)))))
+        xp = np.zeros((len(xs), bucket, xs[0].shape[-1]), np.float32)
+        for i, x in enumerate(xs):
+            xp[i, :t] = x
+        lens = np.full(len(xs), t, np.int32)
+        scores = np.asarray(self._predict_fn(
+            self._stacked_params, self._stacked_stats, xp, lens))
+        return scores[:, :, :t].mean(axis=(0, 1))
 
     def predict(self, x):
         return self.predict_n(x)
