@@ -173,12 +173,14 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                         if config['use_flow'] else None),
             rgb_out=rgb, flow_out=flow)
         if mesh is not None:
-            from ..core.mesh import shard_batch
-
-            return shard_batch((rgb, flow), mesh)
-        # Start the H2D transfer from the decode-ahead worker thread so
-        # upload overlaps the in-flight device compute (upload is the
-        # bottleneck on slow links; decode is on fast ones).
+            # Multi-device placement stays on the MAIN thread (compute):
+            # a sharded device_put racing an in-flight sharded program
+            # deadlocks the CPU backend's collective rendezvous
+            # (core/mesh.step_sync_needed has the full story).
+            return rgb, flow
+        # Single device: start the H2D transfer from the decode-ahead
+        # worker thread so upload overlaps the in-flight device compute
+        # (upload is the bottleneck on slow links; decode on fast ones).
         return (jax.device_put(rgb),
                 jax.device_put(flow) if flow is not None else None)
 
@@ -188,6 +190,10 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
 
     def compute(host):
         rgb, flow = host
+        if mesh is not None:
+            from ..core.mesh import shard_batch
+
+            rgb, flow = shard_batch((rgb, flow), mesh)
         return embed(rgb, flow, rng)
 
     def collect(chunk, dev_out):
