@@ -119,6 +119,11 @@ class SeqModelTrainer:
         max_len = max(
             max(len(x) for x in X),
             max((len(x) for x in (X_val or [])), default=0))
+        # Bucket the time axis to a power of two: few-shot sweeps draw
+        # different train subsets per trial, and a per-trial max length
+        # would give every trial a fresh shape (and a fresh ~minutes RNN
+        # compile); bucketing keeps trials on the shared jit cache.
+        max_len = max(16, 1 << int(math.ceil(math.log2(max(max_len, 1)))))
         Xp, lens = pad_sequences(X, max_len)
         yp = np.asarray(y, dtype=np.int32)
 
