@@ -107,3 +107,20 @@ def test_all_pairs_no_retrace_on_same_shape():
     assert fn._cache_size() == after_first  # no recompile on 2nd call
     assert after_first >= before
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_batch_distances_tpu_chunked_matches_host():
+    """Blocked all-pairs sweep == per-pair host DP, incl. ragged blocks."""
+    from vpd_tpu.tasks.neighbors import batch_distances_tpu
+
+    rng = np.random.default_rng(2)
+    qs = [rng.normal(size=(rng.integers(8, 20), 5)).astype(np.float32)
+          for _ in range(5)]
+    ts = [rng.normal(size=(rng.integers(8, 20), 5)).astype(np.float32)
+          for _ in range(7)]
+    got = batch_distances_tpu(qs, ts, max_len=32,
+                              step_pattern='symmetric2',
+                              query_block=2, target_block=4)
+    fn = build_dtw_distance_fn('symmetric2', prefer_native=False)
+    want = np.array([[fn(q, t) for t in ts] for q in qs])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

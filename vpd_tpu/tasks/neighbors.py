@@ -105,38 +105,72 @@ class Neighbors:
 
 
 def batch_distances_tpu(queries, targets, max_len=512,
-                        step_pattern='symmetricP2'):
+                        step_pattern='symmetricP2',
+                        query_block=64, target_block=128):
     """(Q, T) normalized DTW distances on device (row-vectorized scan).
 
     queries/targets: lists of (T_i, D) arrays. Sequences longer than
     max_len are truncated (retrieval sweeps; callers pick max_len).
     Infeasible symmetricP2 pairs come back +inf (callers may re-run the
     inf entries with 'symmetric2', mirroring the host fallback).
+
+    The sweep runs in (query_block x target_block) pair chunks: each
+    pair's DP holds an (L, L) local-cost slab, so an unchunked
+    1000x1000 corpus would allocate hundreds of GB at once. Blocks are
+    zero-padded to power-of-two sizes so the whole sweep reuses a
+    handful of compiled shapes.
     """
     from ..ops.dtw import dtw_distance_matrix_tpu
 
-    def pad(seqs):
+    def pad(seqs, rows):
         d = seqs[0].shape[-1]
-        out = np.zeros((len(seqs), max_len, d), np.float32)
-        lens = np.zeros(len(seqs), np.int32)
+        out = np.zeros((rows, max_len, d), np.float32)
+        lens = np.ones(rows, np.int32)  # dummy rows get length 1
         for i, s in enumerate(seqs):
             n = min(len(s), max_len)
             out[i, :n] = s[:n]
-            lens[i] = n
+            lens[i] = max(n, 1)
         return out, lens
 
-    q, ql = pad(queries)
-    t, tl = pad(targets)
+    def block_of(n, cap):
+        b = 1
+        while b < min(n, cap):
+            b *= 2
+        return b
+
+    nq, nt = len(queries), len(targets)
+    qb = block_of(nq, query_block)
+    tb = block_of(nt, target_block)
+    nq_pad = -(-nq // qb) * qb
+    nt_pad = -(-nt // tb) * tb
+    q, ql = pad(queries, nq_pad)
+    t, tl = pad(targets, nt_pad)
+
+    pallas_fn = None
     if max_len == 128:
         # lane-packed Pallas kernel: ~7x the row-scan on chip
         try:
             from ..ops.pallas.dtw_kernel import dtw_matrix_pallas
-            return dtw_matrix_pallas(q, ql, t, tl,
-                                     step_pattern=step_pattern)
+            pallas_fn = dtw_matrix_pallas
         except Exception:
             pass
-    return np.asarray(dtw_distance_matrix_tpu(
-        q, ql, t, tl, step_pattern=step_pattern))
+
+    out = np.empty((nq_pad, nt_pad), np.float32)
+    for i in range(0, nq_pad, qb):
+        for j in range(0, nt_pad, tb):
+            qs, qls = q[i:i + qb], ql[i:i + qb]
+            ts, tls = t[j:j + tb], tl[j:j + tb]
+            if pallas_fn is not None:
+                try:
+                    out[i:i + qb, j:j + tb] = pallas_fn(
+                        qs, qls, ts, tls, step_pattern=step_pattern)
+                    continue
+                except Exception:
+                    pallas_fn = None
+            out[i:i + qb, j:j + tb] = np.asarray(
+                dtw_distance_matrix_tpu(qs, qls, ts, tls,
+                                        step_pattern=step_pattern))
+    return out[:nq, :nt]
 
 
 def make_dtw_fns():
