@@ -102,7 +102,12 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
                           rgb_out=prev)
         decode_crop_batch([p + '.png' for p in chunk], img_dim,
                           rgb_out=curr)
-        return prev, curr
+        # H2D starts on the decode-ahead thread so the upload (the e2e
+        # bottleneck through the relay, PERF.md) overlaps the in-flight
+        # flow batch. Single-device path only runs here.
+        import jax
+
+        return jax.device_put(prev), jax.device_put(curr)
 
     def compute(host):
         return qfn(*host)
