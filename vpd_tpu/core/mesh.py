@@ -83,8 +83,18 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh, axis_name=DATA_AXIS):
-    """Device-put a host batch pytree, sharding dim 0 across the mesh."""
+    """Device-put a host batch pytree, sharding dim 0 across the mesh.
+
+    Cross-host (multi-process) meshes: each process passes its LOCAL
+    rows — the per-host slice of the global batch, in process order —
+    and the result is the assembled global array (the data-parallel
+    input pipeline: every host loads only its own shard).
+    """
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
@@ -104,10 +114,19 @@ def step_sync_needed(mesh):
 
 
 def replicate(tree, mesh):
-    """Device-put a pytree fully replicated across the mesh."""
+    """Device-put a pytree fully replicated across the mesh.
+
+    Multi-process: leaves go through host numpy first — device_put's
+    cross-process consistency check rejects process-local device arrays
+    even when their values agree."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if jax.process_count() > 1:
+            x = np.asarray(x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def pad_batch_to(batch, n, pad_mask_key=None):
