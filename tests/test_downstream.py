@@ -257,3 +257,53 @@ def test_pooled_knn_distances_match_serial():
     knn_p = KNearestNeighbors(X, y, dist, k=3, processes=2)
     knn_s = KNearestNeighbors(X, y, dist, k=3)
     assert knn_p.predict(x) == knn_s.predict(x)
+
+
+def test_device_knn_matches_host_knn():
+    """Device-precomputed kNN == host KnnModel on a small few-shot run."""
+    import numpy as np
+
+    from vpd_tpu.tasks.recognize import (DeviceKnnIndex, DeviceKnnModel,
+                                         KnnModel)
+
+    rng = np.random.default_rng(3)
+    C, D = 3, 6
+
+    def make(n, with_flip=True):
+        embs, labels = {}, {}
+        for i in range(n):
+            t = int(rng.integers(10, 30))
+            name = 'a{}'.format(len(labels))
+            cls = i % C
+            base = rng.normal(size=(t, 1, D)) + 3 * cls
+            embs[name] = np.concatenate(
+                [base, base + 0.1 * rng.normal(size=base.shape)],
+                axis=1).astype(np.float32)
+            labels[name] = cls
+        return embs, labels
+
+    train_embs, train_labels = make(12)
+    test_embs, test_labels = make(8)
+
+    host = KnnModel('dtw', train_embs, train_labels, k=3)
+    index = DeviceKnnIndex(train_embs, test_embs, train_labels,
+                           max_len=64, log=lambda *a: None)
+    dev = DeviceKnnModel(index, set(train_embs), k=3)
+
+    agree = 0
+    for action, embs in test_embs.items():
+        hp, hn = host.predict(embs, ensemble=True)
+        dp, dn = dev.predict_action(action, ensemble=True)
+        assert hp == dp, (action, hp, dp)
+        assert hn == dn, (action, hn, dn)
+        agree += 1
+    assert agree == len(test_embs)
+
+    # few-shot subset view selects the right columns
+    sub = set(list(train_embs)[:6])
+    host_sub = KnnModel('dtw', {a: train_embs[a] for a in sub},
+                        train_labels, k=1)
+    dev_sub = DeviceKnnModel(index, sub, k=1)
+    for action, embs in test_embs.items():
+        assert host_sub.predict(embs)[0] == \
+            dev_sub.predict_action(action)[0]

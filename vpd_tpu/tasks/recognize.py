@@ -129,6 +129,88 @@ class KnnModel:
         return self.top_class, None
 
 
+class DeviceKnnIndex:
+    """Precomputed test x train DTW distances for device-backed kNN.
+
+    The reference's kNN path runs one compiled-DP call per (query,
+    train) pair per trial (`util/neighbors.py:46-73`); at 128-shot x 10
+    trials that is millions of serial host DP calls. Here the FULL
+    test x train variant distance matrix is computed once on device
+    (`batch_distances_tpu`, sequences truncated to max_len) for both
+    step patterns, and every few-shot trial just selects its train
+    columns. Voting/tiebreak semantics reuse KNearestNeighbors exactly
+    via a matrix-lookup distance fn; queries whose symmetricP2 row is
+    all-inf fall back to the symmetric2 row (the host path's
+    model2 fallback).
+    """
+
+    def __init__(self, train_embs, test_embs, train_labels, max_len=128,
+                 log=print):
+        def expand(embs_dict):
+            entries, arrays = [], []
+            for seq in sorted(embs_dict):
+                embs = embs_dict[seq]
+                if embs is None:
+                    continue
+                if len(embs.shape) == 3:
+                    for i in range(embs.shape[1]):
+                        entries.append((seq, i))
+                        arrays.append(embs[:, i, :])
+                else:
+                    entries.append((seq, 0))
+                    arrays.append(embs)
+            return entries, arrays
+
+        self.train_entries, train_arrays = expand(train_embs)
+        self.test_entries, test_arrays = expand(test_embs)
+        self.train_labels = train_labels
+        self.test_rows = defaultdict(list)
+        for r, (seq, _) in enumerate(self.test_entries):
+            self.test_rows[seq].append(r)
+        from .neighbors import batch_distances_tpu
+
+        log('Device kNN: {} test x {} train variant distances'.format(
+            len(test_arrays), len(train_arrays)))
+        self.d1 = batch_distances_tpu(test_arrays, train_arrays,
+                                      max_len=max_len,
+                                      step_pattern='symmetricP2')
+        self.d2 = batch_distances_tpu(test_arrays, train_arrays,
+                                      max_len=max_len,
+                                      step_pattern='symmetric2')
+
+
+class DeviceKnnModel:
+    """Per-trial view over a DeviceKnnIndex (KnnModel interface)."""
+
+    def __init__(self, index, subset_seqs, k):
+        self.index = index
+        self.k = k
+        self.cols = [c for c, (seq, _) in enumerate(index.train_entries)
+                     if seq in subset_seqs]
+        self.y = [index.train_labels[index.train_entries[c][0]]
+                  for c in self.cols]
+        classes = Counter(self.y)
+        self.top_class = classes.most_common()[0][0]
+
+    def predict_action(self, action_id, ensemble=True):
+        rows = self.index.test_rows.get(action_id)
+        if not rows:
+            return self.top_class, None
+        if not ensemble:
+            rows = rows[:1]
+        dist = self.index.d1[np.ix_(rows, self.cols)]
+        if np.isinf(dist).all():  # symmetricP2 infeasible -> fallback
+            dist = self.index.d2[np.ix_(rows, self.cols)]
+        # identical heap/majority/tiebreak semantics via matrix lookup
+        knn = KNearestNeighbors(
+            list(range(len(self.cols))), self.y,
+            lambda r, c: float(dist[r, c]), k=self.k)
+        pred, i = knn.predict_n(*range(len(rows)))
+        if i is None:
+            return self.top_class, None
+        return pred, self.index.train_entries[self.cols[i]][0]
+
+
 def sample_embeddings(embs, labels, n, keep_ratio=False, seed=None):
     """Per-class subsampling (`recognize.py:187-199`)."""
     rng = np.random.default_rng(seed)
@@ -151,16 +233,25 @@ def run_action_recognition(
         test_embs, test_labels, out_dir, algorithm, k, num_train_examples,
         few_shot_template, hidden_dim, attn, num_epochs, val_freq,
         n_trials, no_test_flip, load_action_ids_fn=None, load_weights=None,
-        log=print):
+        device_knn=False, device_max_len=128, log=print):
     """Few-shot evaluation protocol (`recognize.py:453-577`).
 
-    Returns {ne: [trial accuracies]}.
+    `device_knn=True` precomputes the full test x train DTW matrix on
+    device once (sequences truncated to device_max_len) and reuses it
+    across every few-shot size and trial. Returns {ne: [trial accs]}.
     """
     from ..datasets.load import load_action_ids
     if load_action_ids_fn is None:
         load_action_ids_fn = load_action_ids
 
+    knn_index = None
+    if device_knn and algorithm in KNN_MODELS:
+        knn_index = DeviceKnnIndex(train_embs, test_embs, train_labels,
+                                   max_len=device_max_len, log=log)
+
     def build_model(embs):
+        if knn_index is not None:
+            return DeviceKnnModel(knn_index, set(embs), k)
         if algorithm in SEQ_MODELS:
             assert k == 1
             kwargs = {'hidden_dim': hidden_dim, 'num_epochs': num_epochs,
@@ -180,7 +271,12 @@ def run_action_recognition(
         results = []
         errors = 0
         for action_id, action_embs in test_embs.items():
-            pred, neighbor = model.predict(action_embs, not no_test_flip)
+            if hasattr(model, 'predict_action'):
+                pred, neighbor = model.predict_action(
+                    action_id, not no_test_flip)
+            else:
+                pred, neighbor = model.predict(action_embs,
+                                               not no_test_flip)
             actual = test_labels[action_id]
             if pred != actual:
                 errors += 1

@@ -42,6 +42,10 @@ def get_args():
     parser.add_argument('-ntf', '--no_test_flip', action='store_true')
     parser.add_argument('--device_retrieval', action='store_true',
                         help='Use the batched TPU DTW for retrieval')
+    parser.add_argument('--device_knn', action='store_true',
+                        help='Precompute the test x train DTW matrix on '
+                             'device once and reuse it across all '
+                             'few-shot kNN trials')
     parser.add_argument('-w', '--load_weights', type=str,
                         help='Load a pretrained head checkpoint')
     return parser.parse_args()
@@ -80,7 +84,7 @@ def load_diving48_data(emb_dir, norm, target_fps, use_v1):
 def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
          hidden_dim, attn, target_fps, num_epochs, val_freq, n_trials,
          no_test_flip, retrieve, device_retrieval=False,
-         load_weights=None):
+         device_knn=False, load_weights=None):
     val_embs = val_labels = None
     if dataset.startswith('diving48'):
         (categories, train_embs, train_labels, test_embs,
@@ -137,7 +141,7 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
             test_embs, test_labels, out_dir, algorithm, k,
             num_train_examples, few_shot_file, hidden_dim, attn,
             num_epochs, val_freq, n_trials, no_test_flip,
-            load_weights=load_weights)
+            device_knn=device_knn, load_weights=load_weights)
 
 
 if __name__ == '__main__':
