@@ -307,3 +307,41 @@ def test_device_knn_matches_host_knn():
     for action, embs in test_embs.items():
         assert host_sub.predict(embs)[0] == \
             dev_sub.predict_action(action)[0]
+
+
+def test_run_action_recognition_device_knn(tmp_path):
+    """Few-shot protocol end-to-end with the device kNN index."""
+    import numpy as np
+
+    from vpd_tpu.tasks.recognize import run_action_recognition
+
+    rng = np.random.default_rng(4)
+    C, D = 3, 5
+    cats = {i: type('C', (), {'name': 'c{}'.format(i)})() for i in range(C)}
+
+    def make(n):
+        embs, labels = {}, {}
+        for i in range(n):
+            t = int(rng.integers(8, 20))
+            name = 'a{}'.format(len(embs)) + ('t' if n > 9 else '')
+            cls = i % C
+            embs[name] = (rng.normal(size=(t, 2, D)) + 2 * cls).astype(
+                np.float32)
+            labels[name] = cls
+        return embs, labels
+
+    train_embs, train_labels = make(9)
+    test_embs, test_labels = make(12)
+    ids_by_file = {'ids_3_0': set(list(train_embs)[:6])}
+
+    accs = run_action_recognition(
+        cats, train_embs, train_labels, None, None, test_embs,
+        test_labels, str(tmp_path), 'dtw', 1, [3], 'ids_{}_{}',
+        hidden_dim=8, attn=False, num_epochs=1, val_freq=1, n_trials=1,
+        no_test_flip=False,
+        load_action_ids_fn=lambda f: ids_by_file[f],
+        device_knn=True, device_max_len=32, log=lambda *a: None)
+    assert 3 in accs and len(accs[3]) == 1
+    # class centers are separated by 2 sigma; kNN should do well
+    assert accs[3][0] >= 0.5
+    assert any(f.endswith('.csv') for f in os.listdir(tmp_path))
