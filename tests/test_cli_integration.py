@@ -167,3 +167,29 @@ def test_preprocess_3d_pose_cli(tmp_path):
         data = pickle.load(fp)
     assert ('man01', 'walk') in data
     assert data[('man01', 'walk')][0][2].shape == (24, 3)
+
+
+def test_train_vipe_cli_with_workers(tmp_path, monkeypatch):
+    """--num_workers path: fork-safe probe + MultiprocessBatcher +
+    post-fork mesh creation."""
+    from vpd_tpu.data.vipe_sampler import FAMILIES, load_human36m
+    from vpd_tpu.tools import train_vipe
+
+    pose_dir, pose3d_file = _make_h36m_tree(str(tmp_path / 'h36m'))
+    monkeypatch.setitem(
+        train_vipe.LOADERS, 'human36m',
+        (load_human36m, pose_dir, pose3d_file))
+    monkeypatch.setattr(FAMILIES['human36m'], 'train_target_len', 32,
+                        raising=False)
+    monkeypatch.setattr(FAMILIES['human36m'], 'val_target_len', 16,
+                        raising=False)
+
+    save_dir = str(tmp_path / 'model')
+    train_vipe.main(
+        dataset=['human36m'], save_dir=save_dir, checkpoint_frequency=1,
+        num_epochs=1, learning_rate=1e-3, batch_size=16, embedding_dim=8,
+        encoder_arch=(1, 32), decoder_arch=(1, 32), embed_bones=False,
+        model_select_contrast=False, model_select_window=1, resume=False,
+        no_camera_aug=False, seed=0, num_workers=1)
+    files = os.listdir(save_dir)
+    assert 'config.json' in files and 'best_epoch.encoder.ckpt' in files
