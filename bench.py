@@ -9,14 +9,43 @@ NOTE on methodology: on this backend `block_until_ready` does not force
 execution (lazy relay), so every timed iteration fetches the embeddings to
 host, which is also what real extraction does before writing .emb.pkl.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+RESILIENCE: the relay's first compile can take minutes under load (round 2
+recorded rc=124 with no output because the old bench compiled a B=8192
+program before printing anything). So this bench measures a SMALL batch
+first and prints a complete JSON line immediately, then escalates batch
+size, reprinting the best-so-far line after each stage — whenever a driver
+timeout lands, the tail still holds one valid result. A wall-clock budget
+(VPD_BENCH_BUDGET_S, default 360 s) stops escalation before the driver's
+own timeout would.
+
+Prints one-or-more JSON lines (LAST line = best measurement):
+{"metric", "value", "unit", "vs_baseline"}.
 Baseline: 5000 crops/sec/chip (BASELINE.md north star).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+BASELINE = 5000.0
+BUDGET_S = float(os.environ.get('VPD_BENCH_BUDGET_S', '360'))
+START = time.perf_counter()
+
+
+def elapsed():
+    return time.perf_counter() - START
+
+
+def emit(best):
+    print(json.dumps({
+        'metric': 'student_extract_crops_per_sec_per_chip',
+        'value': round(best, 1),
+        'unit': 'crops/sec/chip',
+        'vs_baseline': round(best / BASELINE, 3),
+    }), flush=True)
 
 
 def main():
@@ -44,30 +73,42 @@ def main():
     rng = np.random.default_rng(0)
     best = 0.0
     depth = 4  # enqueue-ahead amortizes the relay round-trip
-    for batch in (8192,):
-        bufs = [jax.device_put(rng.integers(
-            0, 255, (batch, 128, 128, 3), dtype=np.uint8))
-            for _ in range(depth)]
+    ladder = [(1024, 3), (8192, 4)]
+    if os.environ.get('VPD_BENCH_BATCHES'):  # debug override
+        ladder = [(int(b), 3)
+                  for b in os.environ['VPD_BENCH_BATCHES'].split(',')]
+    for stage, (batch, rounds) in enumerate(ladder):
+        if stage > 0 and elapsed() > 0.5 * BUDGET_S:
+            print('# bench: skipping B={} escalation at {:.0f}s '
+                  '(budget {:.0f}s)'.format(batch, elapsed(), BUDGET_S),
+                  file=sys.stderr, flush=True)
+            break
+        try:
+            bufs = [jax.device_put(rng.integers(
+                0, 255, (batch, 128, 128, 3), dtype=np.uint8))
+                for _ in range(depth)]
 
-        # compile + warm (readback forces execution)
-        np.asarray(embed(params, batch_stats, bufs[0]))
+            # compile + warm (readback forces execution)
+            np.asarray(embed(params, batch_stats, bufs[0]))
 
-        times = []
-        for _ in range(4):
-            start = time.perf_counter()
-            outs = [embed(params, batch_stats, b) for b in bufs]
-            res = [np.asarray(o) for o in outs]
-            times.append((time.perf_counter() - start) / depth)
-        assert all(np.all(np.isfinite(r)) for r in res)
-        crops_per_sec = batch / min(times)
-        best = max(best, crops_per_sec)
-
-    print(json.dumps({
-        'metric': 'student_extract_crops_per_sec_per_chip',
-        'value': round(best, 1),
-        'unit': 'crops/sec/chip',
-        'vs_baseline': round(best / 5000.0, 3),
-    }))
+            times = []
+            for _ in range(rounds):
+                start = time.perf_counter()
+                outs = [embed(params, batch_stats, b) for b in bufs]
+                res = [np.asarray(o) for o in outs]
+                times.append((time.perf_counter() - start) / depth)
+                if elapsed() > BUDGET_S and times:
+                    break
+            assert all(np.all(np.isfinite(r)) for r in res)
+            best = max(best, batch / min(times))
+        except Exception as exc:  # keep the previous stage's line valid
+            print('# bench: B={} stage failed: {!r}'.format(batch, exc),
+                  file=sys.stderr, flush=True)
+            if best:
+                break
+            raise
+        emit(best)
+        del bufs, outs, res
 
 
 if __name__ == '__main__':

@@ -248,6 +248,7 @@ def test_pooled_knn_distances_match_serial():
     def dist(a, b):
         return float(np.linalg.norm(a.mean(0) - b.mean(0)))
 
+    dist.fork_safe = True  # pure numpy: keep the pool path exercised
     pooled = dict(pooled_distances(x, X, dist, processes=2))
     serial = {i: dist(x, xt) for i, xt in enumerate(X)}
     assert pooled.keys() == serial.keys()

@@ -109,7 +109,9 @@ def build_dtw_distance_fn(step_pattern='symmetricP2', prefer_native=True):
         try:
             from .dtw_native import available, build_native_dtw_fn
             if available():
-                return build_native_dtw_fn(step_pattern)
+                fn = build_native_dtw_fn(step_pattern)
+                fn.fork_safe = True  # pure C++ .so, no XLA client
+                return fn
         except Exception:
             pass
 
@@ -117,6 +119,7 @@ def build_dtw_distance_fn(step_pattern='symmetricP2', prefer_native=True):
         d = pairwise_l2(a, b)
         return dtw_distance(d, step_pattern=step_pattern)
 
+    dtw_fn.fork_safe = True  # pure numpy DP, no XLA client
     return dtw_fn
 
 

@@ -9,6 +9,7 @@ reference's per-pair compiled scalar core + process pool.
 
 import heapq
 import multiprocessing as mp
+import warnings
 from collections import Counter
 
 import numpy as np
@@ -31,8 +32,20 @@ def pooled_distances(x, X, distance_fn, processes):
 
     Parity with reference `util/neighbors.py:21-41` (optional process-pool
     brute force). Requires the 'fork' start method; falls back to serial
-    when unavailable.
+    when unavailable, or when a JAX backend is already initialized and the
+    distance_fn might close over it (XLA clients are not fork-safe —
+    forked workers calling into a live backend can hang). Native .so /
+    numpy closures are tagged fork-safe via `fn.fork_safe = True`.
     """
+    if not getattr(distance_fn, 'fork_safe', False):
+        import jax._src.xla_bridge as _xb
+
+        if _xb.backends_are_initialized():
+            warnings.warn(
+                'pooled_distances: JAX backend already initialized and '
+                'distance_fn is not tagged fork_safe; running serially '
+                '(forking a live XLA client is unsafe).')
+            return [(i, distance_fn(x, xt)) for i, xt in enumerate(X)]
     try:
         ctx = mp.get_context('fork')
     except ValueError:

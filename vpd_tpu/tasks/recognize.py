@@ -139,9 +139,10 @@ class DeviceKnnIndex:
     (`batch_distances_tpu`, sequences truncated to max_len) for both
     step patterns, and every few-shot trial just selects its train
     columns. Voting/tiebreak semantics reuse KNearestNeighbors exactly
-    via a matrix-lookup distance fn; queries whose symmetricP2 row is
-    all-inf fall back to the symmetric2 row (the host path's
-    model2 fallback).
+    via a matrix-lookup distance fn. The symmetric2 fallback matches the
+    host KnnModel path: it fires only when EVERY (variant, train-column)
+    symmetricP2 distance for the action is infeasible (all-inf
+    submatrix), not per variant row.
     """
 
     def __init__(self, train_embs, test_embs, train_labels, max_len=128,

@@ -108,8 +108,28 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         import subprocess
         import sys
 
+        # The probe subprocess must see the SAME platform config the
+        # parent will use post-fork: a fresh process boots with default
+        # devices and cannot see in-process jax.config updates (the
+        # repo's documented config method), which previously made the
+        # probe report 1 device while the parent mesh had 8. Reading
+        # config options does not initialize a backend, so this is still
+        # fork-safe.
+        import jax as _jax_cfg
+
+        probe_lines = ['import jax']
+        _plat = _jax_cfg.config.jax_platforms
+        if _plat:
+            probe_lines.append(
+                'jax.config.update("jax_platforms", {!r})'.format(_plat))
+        _ncpu = getattr(_jax_cfg.config, 'jax_num_cpu_devices', None)
+        if _ncpu is not None and _ncpu > 0:
+            probe_lines.append(
+                'jax.config.update("jax_num_cpu_devices", {})'.format(
+                    int(_ncpu)))
+        probe_lines.append('print(jax.device_count())')
         probe = subprocess.run(
-            [sys.executable, '-c', 'import jax; print(jax.device_count())'],
+            [sys.executable, '-c', '\n'.join(probe_lines)],
             capture_output=True, text=True)
         n_dev = (int(probe.stdout.strip().splitlines()[-1])
                  if probe.returncode == 0 else 1)
@@ -160,6 +180,15 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         else:
             from ..core.mesh import get_mesh
             mesh = get_mesh()
+
+    data_ax = int(mesh.shape.get('data', 1))
+    if train_b.batch_size % data_ax or val_b.batch_size % data_ax:
+        raise SystemExit(
+            'Batch size {} (train) / {} (val) is not divisible by the '
+            "mesh 'data' axis ({} devices). The pre-fork device probe "
+            'disagreed with the post-fork mesh; pass a --batch_size '
+            'divisible by the device count.'.format(
+                train_b.batch_size, val_b.batch_size, data_ax))
 
     config = default_config(
         dataset, shapes, norms, num_epochs=num_epochs,
