@@ -1,0 +1,347 @@
+"""Differential tests against the ACTUAL reference code as oracle.
+
+Unlike test_torch_compat.py (which re-types reference architectures
+in-test), these tests import the read-only reference tree at
+/root/reference and assert head-to-head numerical equality on randomized
+inputs, so any drift in either implementation fails loudly:
+
+  * `vipe_dataset/dataset_base.py:37-137` normalize_2d_skeleton /
+    get_3d_features / normalize_3d_offsets / is_good_3d_neg_sample
+    vs `vpd_tpu.geometry.{coco,features3d}` (all variants: numpy single,
+    numpy batch, jax batch).
+  * `models/keypoint.py:38-126` Keypoint_EmbeddingModel.epoch (the real
+    VIPE loss, eval path) vs the fused jitted VIPE step with weights
+    transplanted via `models.torch_compat`.
+  * `util/proposal.py:175-209` get_proposals vs
+    `vpd_tpu.train.proposal.get_proposals` (fuzzed score traces).
+  * `action_dataset/load.py:16-48` group_by_frame / normalize_rows vs
+    `vpd_tpu.datasets.load` (fuzzed sparse embedding lists).
+
+The reference's conv-ResNet half of models/module.py needs torchvision
+(absent); a catch-all stub satisfies those imports — the FC classes used
+here are the reference's own code, untouched.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = '/root/reference'
+if not os.path.isdir(REF):
+    pytest.skip('reference tree not available', allow_module_level=True)
+torch = pytest.importorskip('torch')
+pytest.importorskip('scipy')
+
+if REF not in sys.path:
+    sys.path.append(REF)  # append: never shadows repo/test modules
+
+
+def _stub_torchvision():
+    if 'torchvision' in sys.modules:
+        return
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):
+            return None
+
+    tv = types.ModuleType('torchvision')
+    tvm = _AnyAttr('torchvision.models')
+    tvr = types.ModuleType('torchvision.models.resnet')
+
+    class _Block:  # never instantiated by the FC classes under test
+        pass
+
+    tvr.BasicBlock = _Block
+    tvr.Bottleneck = _Block
+    tvr.conv1x1 = lambda *a, **k: None
+    tvm.resnet = tvr
+    tv.models = tvm
+    sys.modules.update({'torchvision': tv, 'torchvision.models': tvm,
+                        'torchvision.models.resnet': tvr})
+
+
+_stub_torchvision()
+
+
+# ---------------------------------------------------------------------------
+# dataset_base: 2D normalization + 3D features
+# ---------------------------------------------------------------------------
+
+def _random_pose(rng, degenerate=False):
+    kp = rng.normal(0, 40, (17, 3)).astype(np.float32)
+    kp[:, :2] += rng.uniform(100, 500, 2).astype(np.float32)
+    kp[:, 2] = rng.uniform(0, 1, 17)
+    if degenerate:  # all torso points identical -> max_torso_dist == 0
+        from vpd_tpu.geometry.coco import COCO_TORSO_POINTS
+        kp[COCO_TORSO_POINTS] = kp[COCO_TORSO_POINTS[0]]
+    return kp
+
+
+@pytest.mark.parametrize('zero_confs', [False, True])
+@pytest.mark.parametrize('bones', [False, True])
+def test_normalize_2d_skeleton_oracle(zero_confs, bones):
+    from vipe_dataset import dataset_base as ref
+
+    from vpd_tpu.geometry import coco
+
+    rng = np.random.default_rng(0)
+    poses = [_random_pose(rng) for _ in range(8)]
+    poses.append(_random_pose(rng, degenerate=True))
+    flips = [bool(i % 2) for i in range(len(poses))]
+
+    want = [ref.normalize_2d_skeleton(
+        kp, flip, to_tensor=False, zero_confs=zero_confs,
+        include_bone_features=bones) for kp, flip in zip(poses, flips)]
+    got = [coco.normalize_2d_skeleton(
+        kp, flip, zero_confs=zero_confs, include_bone_features=bones)
+        for kp, flip in zip(poses, flips)]
+    got_batch = coco.normalize_2d_skeleton_batch(
+        np.stack(poses), np.array(flips), zero_confs=zero_confs,
+        include_bone_features=bones)
+    for w, g, gb in zip(want, got, got_batch):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gb, w, rtol=1e-4, atol=1e-5)
+
+    jax = pytest.importorskip('jax')
+    del jax
+    got_dev = np.asarray(coco.normalize_2d_batch(
+        np.stack(poses), np.array(flips), zero_confs=zero_confs,
+        include_bone_features=bones))
+    np.testing.assert_allclose(
+        got_dev, np.stack(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('extremities', [False, True])
+@pytest.mark.parametrize('root_dirs', [True, False])
+def test_get_3d_features_oracle(extremities, root_dirs):
+    from vipe_dataset import dataset_base as ref
+    from vipe_dataset import human36m as ref_h36m
+
+    from vpd_tpu.geometry.features3d import get_3d_features
+    from vpd_tpu.geometry.human36m import SPEC
+
+    rng = np.random.default_rng(1)
+    for _ in range(6):
+        offsets = rng.normal(0, 0.3, (20, 3))
+        offsets += np.sign(offsets) * 0.05  # keep norms well away from 0
+        want = ref.get_3d_features(
+            offsets, ref_h36m, include_extremities=extremities,
+            include_root_directions=root_dirs)
+        got = get_3d_features(
+            offsets, SPEC, include_extremities=extremities,
+            include_root_directions=root_dirs)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_3d_offset_helpers_oracle():
+    from vipe_dataset import dataset_base as ref
+
+    from vpd_tpu.geometry import features3d
+
+    rng = np.random.default_rng(2)
+    offs = rng.normal(0, 1, (20, 3)) + 0.1
+    wo, wd = ref.normalize_3d_offsets(offs.copy())
+    go, gd = features3d.normalize_3d_offsets(offs.copy())
+    np.testing.assert_allclose(go, wo)
+    np.testing.assert_allclose(gd, wd)
+
+    for i in range(20):
+        a = ref.normalize_3d_offsets(rng.normal(0, 1, (20, 3)) + 0.1)[0]
+        b = ref.normalize_3d_offsets(rng.normal(0, 1, (20, 3)) + 0.1)[0]
+        ignore = [0, 3] if i % 3 == 0 else None
+        assert (ref.is_good_3d_neg_sample(a, b, ignore)
+                == features3d.is_good_3d_neg_sample(a, b, ignore))
+
+
+# ---------------------------------------------------------------------------
+# models/keypoint.py epoch loss vs the fused VIPE step
+# ---------------------------------------------------------------------------
+
+EMB, BLOCKS, HID = 8, 2, 32
+IN_DIM = 13 * 3
+TGT = 140  # human36m: 20 edges x 7 features
+
+
+def _torch_vipe_model(seed):
+    import models.module as mm
+    from models.keypoint import Keypoint_EmbeddingModel
+
+    torch.manual_seed(seed)
+    enc = mm.FCResNet(IN_DIM, EMB, BLOCKS, HID)
+    dec = mm.FCPoseDecoder(EMB, [24, 16], [('human36m', TGT)])
+    gen = torch.Generator().manual_seed(seed + 1)
+    for mod in list(enc.modules()) + list(dec.modules()):
+        if isinstance(mod, torch.nn.BatchNorm1d):  # non-trivial stats
+            with torch.no_grad():
+                mod.running_mean.copy_(
+                    torch.randn(mod.running_mean.shape, generator=gen) * .1)
+                mod.running_var.copy_(
+                    torch.rand(mod.running_var.shape, generator=gen) + .5)
+    return Keypoint_EmbeddingModel(enc, {'3d': dec}, 'cpu'), enc, dec
+
+
+def _transplant(enc, dec):
+    """Torch FCResNet encoder + FCPoseDecoder -> flax variable tree."""
+    from vpd_tpu.models.torch_compat import _dense, \
+        convert_fcresnet_state_dict
+
+    enc_sd = {k: v.detach().numpy() for k, v in enc.state_dict().items()}
+    enc_params, enc_stats = convert_fcresnet_state_dict(enc_sd, BLOCKS)
+
+    trunk_linears = [m for m in dec.fcn.modules()
+                     if isinstance(m, torch.nn.Linear)]
+    dec_params = {'FCNet_0': {
+        'Dense_{}'.format(i): {
+            'kernel': _dense(m.weight.detach().numpy()),
+            'bias': m.bias.detach().numpy()}
+        for i, m in enumerate(trunk_linears)}}
+    head = dec.target_dict['human36m']
+    dec_params['_MultiHead_0'] = {
+        'kernel': _dense(head.weight.detach().numpy())[None],
+        'bias': head.bias.detach().numpy()[None]}
+    return ({'encoder': enc_params, 'decoder': dec_params},
+            {'encoder': enc_stats})
+
+
+def test_vipe_epoch_loss_oracle():
+    """One eval epoch through the reference Keypoint_EmbeddingModel vs the
+    fused jitted step, same weights, same batches (ref models/keypoint.py
+    :38-126; repo train/vipe.py)."""
+    import optax
+
+    from vpd_tpu.train.vipe import (VIPEModel, VIPETrainState,
+                                    make_eval_step)
+    from vpd_tpu.models.fc import FCPoseDecoder, FCResNet
+
+    ref_model, enc, dec = _torch_vipe_model(seed=3)
+
+    rng = np.random.default_rng(4)
+    n, batches = 16, 3
+    raw = []
+    for _ in range(batches):
+        raw.append({
+            'pose1': rng.normal(0, .5, (n, 13, 3)).astype(np.float32),
+            'pose2': rng.normal(0, .5, (n, 13, 3)).astype(np.float32),
+            'pose_neg': rng.normal(0, .5, (n, 13, 3)).astype(np.float32),
+            'neg_valid': (rng.uniform(size=n) < .8).astype(np.float32),
+            'kp_features': rng.normal(0, .4, (n, TGT)).astype(np.float32),
+        })
+
+    torch_loader = [{
+        'pose1': torch.from_numpy(b['pose1']),
+        'pose2': torch.from_numpy(b['pose2']),
+        'pose_neg': torch.from_numpy(b['pose_neg']),
+        'pose_neg_is_valid': torch.from_numpy(b['neg_valid']),
+        'kp_features': torch.from_numpy(
+            b['kp_features'].reshape(n, 20, 7)),
+    } for b in raw]
+    want_contra, want_loss, want_per_ds = ref_model.epoch(
+        [('human36m', torch_loader)], optimizer=None)
+
+    model = VIPEModel(
+        encoder=FCResNet(EMB, BLOCKS, HID),
+        decoder=FCPoseDecoder((24, 16), (TGT,)))
+    params, stats = _transplant(enc, dec)
+    state = VIPETrainState.create(
+        {'params': params, 'batch_stats': stats}, optax.sgd(0.))
+    eval_step = make_eval_step(model, kp_mask=np.ones((1, TGT)))
+
+    loss_sum = contra_sum = total_n = 0.0
+    for b in raw:
+        metrics = eval_step(state, {
+            'pose1': b['pose1'], 'pose2': b['pose2'],
+            'pose_neg': b['pose_neg'], 'neg_valid': b['neg_valid'],
+            'kp_features': b['kp_features'],
+            'dataset_id': np.zeros(n, np.int32),
+            'has_3d': np.ones(n, np.float32),
+        })
+        loss_sum += float(metrics['loss_sum'])
+        contra_sum += float(metrics['contra_sum'])
+        total_n += float(metrics['n'])
+
+    assert total_n == n * batches
+    np.testing.assert_allclose(loss_sum / total_n, want_loss, rtol=2e-4)
+    np.testing.assert_allclose(contra_sum / total_n, want_contra,
+                               rtol=2e-4)
+    np.testing.assert_allclose(loss_sum / total_n, want_per_ds['human36m'],
+                               rtol=2e-4)
+
+
+def test_fcresnet_forward_oracle():
+    """Reference FCResNet forward (the real models/module.py, not a
+    re-typed mirror) vs flax FCResNet with transplanted weights."""
+    import models.module as mm
+
+    from vpd_tpu.models.fc import FCResNet
+    from vpd_tpu.models.torch_compat import convert_fcresnet_state_dict
+
+    torch.manual_seed(5)
+    tmod = mm.FCResNet(IN_DIM, EMB, BLOCKS, HID)
+    tmod.eval()
+    sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+    params, stats = convert_fcresnet_state_dict(sd, BLOCKS)
+
+    x = np.random.default_rng(6).normal(0, 1, (9, IN_DIM)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+    got = np.asarray(FCResNet(EMB, BLOCKS, HID).apply(
+        {'params': params, 'batch_stats': stats}, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# util/proposal.py get_proposals + action_dataset/load.py group_by_frame
+# ---------------------------------------------------------------------------
+
+def test_get_proposals_oracle():
+    from util.proposal import BaseProposalModel
+
+    from vpd_tpu.train.proposal import get_proposals
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        scores = rng.uniform(0, 1, rng.integers(1, 60))
+        thresh = float(rng.uniform(0.2, 0.8))
+        min_len = int(rng.integers(0, 5))
+        merge = int(rng.integers(0, 4))
+        want = BaseProposalModel.get_proposals(
+            scores, thresh, min_prop_len=min_len, merge_thresh=merge)
+        got = get_proposals(
+            scores, thresh, min_prop_len=min_len, merge_thresh=merge)
+        assert [p for p, _ in got] == [p for p, _ in want], trial
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12)
+
+
+def _random_embs(rng, two_d):
+    frames = sorted(rng.choice(100, size=rng.integers(2, 20),
+                               replace=False).tolist())
+    embs = []
+    for f in frames:
+        for _ in range(rng.integers(1, 3)):  # duplicate frames happen
+            shape = (2, 6) if two_d else (6,)
+            embs.append((int(f), rng.normal(0, 1, shape), {'score': 1.0}))
+    return embs
+
+
+@pytest.mark.parametrize('two_d', [False, True])
+def test_group_by_frame_oracle(two_d):
+    from action_dataset import load as ref
+
+    from vpd_tpu.datasets import load as mine
+
+    rng = np.random.default_rng(8)
+    for _ in range(10):
+        embs = _random_embs(rng, two_d)
+        want_dense, want_mask = ref.group_by_frame(list(embs))
+        got_dense, got_mask = mine.group_by_frame(list(embs))
+        np.testing.assert_allclose(got_dense, want_dense)
+        np.testing.assert_array_equal(got_mask, want_mask)
+
+        x = rng.normal(0, 2, (12, 6) if not two_d else (12, 2, 6))
+        np.testing.assert_allclose(
+            mine.normalize_rows(x.copy()), ref.normalize_rows(x.copy()))
