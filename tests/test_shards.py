@@ -1,0 +1,155 @@
+"""Packed crop shards: pack/read roundtrip, PNG-pipeline equality,
+fallback decode, and sharded extraction equality (`data/shards.py`)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from test_vpd import IMG, setup_dataset, write_crop_tree
+from vpd_tpu.data.crops import (CropBatchSource, decode_crop_batch,
+                                train_val_split)
+from vpd_tpu.data.shards import (ShardReader, fill_or_decode, pack_crops,
+                                 scan_png_tree)
+
+
+def test_scan_png_tree_layouts(tmp_path):
+    write_crop_tree(str(tmp_path), ['vidA', 'vidB'], 3)
+    # tennis-style player subdirs
+    pdir = tmp_path / 'match' / 'front'
+    os.makedirs(pdir)
+    from PIL import Image
+    Image.fromarray(np.zeros((IMG, IMG, 3), np.uint8)).save(
+        str(pdir / '7.png'))
+    entries = scan_png_tree(str(tmp_path))
+    rels = [r for r, _ in entries]
+    assert 'vidA/0' in rels and 'vidB/2' in rels
+    assert 'match/front/7' in rels
+    assert len(rels) == 7
+
+
+def test_pack_reader_roundtrip(tmp_path):
+    crop_dir = str(tmp_path / 'crops')
+    write_crop_tree(crop_dir, ['v0', 'v1', 'v2'], 5, flow=True, mask=True)
+    shard_dir = str(tmp_path / 'shards')
+    # rows_per_shard=4 forces multiple shards (15 crops -> 4 shards)
+    n = pack_crops(crop_dir, shard_dir, IMG, flow_img_name='flow',
+                   rows_per_shard=4, log=lambda *a: None)
+    assert n == 15
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    assert len(reader) == 15
+    assert len(reader.meta['shard_rows']) == 4
+
+    prefixes = [os.path.join(crop_dir, 'v{}'.format(v), str(f))
+                for v in range(3) for f in range(5)]
+    rgb = np.zeros((15, IMG, IMG, 3), np.uint8)
+    flow = np.zeros_like(rgb)
+    mask = np.zeros((15, IMG, IMG), np.uint8)
+    missing = reader.fill(prefixes, rgb, flow, mask)
+    assert missing == []
+
+    want_rgb, want_flow, want_mask = decode_crop_batch(
+        [p + '.png' for p in prefixes], IMG,
+        flow_paths=[p + '.flow.png' for p in prefixes],
+        mask_paths=[p + '.mask.png' for p in prefixes])
+    np.testing.assert_array_equal(rgb, want_rgb)
+    np.testing.assert_array_equal(flow, want_flow)
+    np.testing.assert_array_equal(mask, want_mask)
+
+
+def test_fill_or_decode_fallback(tmp_path):
+    crop_dir = str(tmp_path / 'crops')
+    write_crop_tree(crop_dir, ['v0'], 4, mask=True)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, log=lambda *a: None)
+    # a crop added AFTER packing must fall back to PNG decode
+    write_crop_tree(crop_dir, ['late'], 2, mask=True, seed=77)
+
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    prefixes = [os.path.join(crop_dir, 'v0', '1'),
+                os.path.join(crop_dir, 'late', '0'),
+                os.path.join(crop_dir, 'v0', '3')]
+    assert reader.rows(prefixes).tolist()[1] == -1
+    rgb, _, mask = fill_or_decode(
+        reader, prefixes, IMG,
+        mask_out=np.zeros((3, IMG, IMG), np.uint8))
+    want_rgb, _, want_mask = decode_crop_batch(
+        [p + '.png' for p in prefixes], IMG,
+        mask_paths=[p + '.mask.png' for p in prefixes])
+    np.testing.assert_array_equal(rgb, want_rgb)
+    np.testing.assert_array_equal(mask, want_mask)
+
+
+@pytest.mark.parametrize('flow', [False, True])
+def test_crop_source_shard_equality(tmp_path, flow):
+    """Same seed, shard-backed vs PNG-decode CropBatchSource: identical
+    batches (the driver-visible equality contract)."""
+    samples, _, crop_dir = setup_dataset(tmp_path, flow=flow, mask=True)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG,
+               flow_img_name='flow' if flow else None,
+               rows_per_shard=8, log=lambda *a: None)
+    train, _ = train_val_split(samples)
+    kw = dict(batch_size=8, target_len=32,
+              flow_img_name='flow' if flow else None, seed=5)
+    src_png = CropBatchSource(train, crop_dir, IMG, **kw)
+    src_sh = CropBatchSource(train, crop_dir, IMG, shard_dir=shard_dir,
+                             **kw)
+    for _ in range(4):
+        a, b = src_png.next_batch(), src_sh.next_batch()
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_shard_flow_name_mismatch(tmp_path):
+    _, _, crop_dir = setup_dataset(tmp_path, flow=True)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, flow_img_name='flow',
+               log=lambda *a: None)
+    with pytest.raises(AssertionError):
+        CropBatchSource([('video0', None, 0, np.zeros(4))], crop_dir,
+                        IMG, batch_size=1, shard_dir=shard_dir,
+                        flow_img_name='otherflow')
+
+
+def test_apply_vpd_shard_equality(tmp_path):
+    """Extraction through shards writes byte-identical .emb.pkl files."""
+    import jax.numpy as jnp
+
+    from vpd_tpu.infer.apply_vpd import (apply_vpd, load_student_dir,
+                                         scan_crop_dir)
+    from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path)
+    train, val = train_val_split(samples)
+    src = CropBatchSource(train, crop_dir, IMG, batch_size=8, target_len=8)
+    config = default_config('tennis', emb_dim, num_epochs=1, batch_size=8,
+                            img_dim=IMG, encoder_arch='resnet18',
+                            checkpoint_frequency=1)
+    trainer = VPDTrainer(src, None, config, save_dir=str(tmp_path / 'm'),
+                         dtype=jnp.float32)
+    trainer.save_config()
+    trainer.fit(log=lambda *a: None)
+
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, use_mask=False,
+               log=lambda *a: None)
+    videos, tasks = scan_crop_dir(crop_dir)
+    prepared = load_student_dir(str(tmp_path / 'm'), model_epoch=1)
+
+    apply_vpd(videos, tasks, None, str(tmp_path / 'png_out'),
+              model_epoch=1, batch_size=8, prepared=prepared,
+              log=lambda *a: None)
+    apply_vpd(videos, tasks, None, str(tmp_path / 'shard_out'),
+              model_epoch=1, batch_size=8, prepared=prepared,
+              shard_reader=ShardReader(shard_dir, crop_root=crop_dir),
+              log=lambda *a: None)
+
+    for v in videos:
+        with open(tmp_path / 'png_out' / (v + '.emb.pkl'), 'rb') as fp:
+            want = fp.read()
+        with open(tmp_path / 'shard_out' / (v + '.emb.pkl'), 'rb') as fp:
+            got = fp.read()
+        assert got == want, v

@@ -184,7 +184,7 @@ class CropBatchSource:
 
     def __init__(self, samples, img_dir, img_dim, batch_size, *,
                  target_len=20000, flow_img_name=None, use_mask=True,
-                 augment=True, seed=0, use_native=None):
+                 augment=True, seed=0, use_native=None, shard_dir=None):
         assert samples, 'empty crop dataset'
         self.samples = samples
         self.img_dir = img_dir
@@ -199,20 +199,34 @@ class CropBatchSource:
             from . import native_loader
             use_native = native_loader.available()
         self.use_native = use_native
+        self.shards = None
+        if shard_dir is not None:  # packed-shard cache: memcpy, no codec
+            from .shards import ShardReader
+            self.shards = ShardReader(shard_dir, crop_root=img_dir)
+            if flow_img_name:
+                packed = self.shards.meta['flow_img_name']
+                assert packed == flow_img_name, \
+                    'shards packed with flow "{}", model needs "{}"' \
+                    .format(packed, flow_img_name)
+            assert not use_mask or self.shards.meta['use_mask'], \
+                'shards packed without masks but use_mask=True'
 
     @property
     def num_batches(self):
         return max(1, self.target_len // self.batch_size)
 
-    def _paths(self, video, player, frame):
+    def _prefix(self, video, player, frame):
         base = (os.path.join(self.img_dir, video, player)
                 if player else os.path.join(self.img_dir, video))
-        out = {'rgb': os.path.join(base, '{}.png'.format(frame))}
+        return os.path.join(base, str(frame))
+
+    def _paths(self, video, player, frame):
+        prefix = self._prefix(video, player, frame)
+        out = {'rgb': prefix + '.png'}
         if self.flow_img_name:
-            out['flow'] = os.path.join(base, '{}.{}.png'.format(
-                frame, self.flow_img_name))
+            out['flow'] = '{}.{}.png'.format(prefix, self.flow_img_name)
         if self.use_mask:
-            out['mask'] = os.path.join(base, '{}.mask.png'.format(frame))
+            out['mask'] = prefix + '.mask.png'
         return out
 
     def next_batch(self):
@@ -224,7 +238,7 @@ class CropBatchSource:
         mask = np.zeros((b, s, s), np.uint8) if self.use_mask else None
         embs = []
         flips = np.zeros(b, np.uint8)
-        batch_paths = []
+        keys = []
         for i in range(b):
             video, player, frame, emb = self.samples[
                 self.rng.integers(len(self.samples))]
@@ -234,16 +248,24 @@ class CropBatchSource:
             elif flip:
                 flip = False  # no flipped target available
             flips[i] = flip
-            batch_paths.append(self._paths(video, player, frame))
+            keys.append((video, player, frame))
             embs.append(emb)
-        decode_crop_batch(
-            [p['rgb'] for p in batch_paths], s,
-            flow_paths=([p['flow'] for p in batch_paths]
-                        if flow is not None else None),
-            mask_paths=([p['mask'] for p in batch_paths]
-                        if mask is not None else None),
-            rgb_out=rgb, flow_out=flow, mask_out=mask,
-            use_native=self.use_native)
+        if self.shards is not None:
+            from .shards import fill_or_decode
+            fill_or_decode(
+                self.shards, [self._prefix(*k) for k in keys], s,
+                flow_img_name=self.flow_img_name, rgb_out=rgb,
+                flow_out=flow, mask_out=mask, use_native=self.use_native)
+        else:
+            batch_paths = [self._paths(*k) for k in keys]
+            decode_crop_batch(
+                [p['rgb'] for p in batch_paths], s,
+                flow_paths=([p['flow'] for p in batch_paths]
+                            if flow is not None else None),
+                mask_paths=([p['mask'] for p in batch_paths]
+                            if mask is not None else None),
+                rgb_out=rgb, flow_out=flow, mask_out=mask,
+                use_native=self.use_native)
         out = {'rgb': rgb, 'emb': np.stack(embs).astype(np.float32),
                'flip': flips.astype(bool)}
         if flow is not None:

@@ -138,13 +138,16 @@ def scan_tennis_crop_dir(video_dir, crop_dir):
 def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
               flow_img_name=None, jitter=0, no_flip=False,
               batch_size=EXTRACT_BATCH, mesh=None, log=print,
-              prepared=None, embed_fn=None):
+              prepared=None, embed_fn=None, shard_reader=None):
     """Extraction; pass a `Mesh` to shard batches across chips (inference
     fan-out: sharded batch embed + host gather, SURVEY.md §2.8).
 
     `prepared=(model, variables, config)` and `embed_fn` let repeated
     calls in one process reuse the loaded weights and the compiled embed
-    program instead of re-tracing per invocation.
+    program instead of re-tracing per invocation. `shard_reader`
+    (`data.shards.ShardReader` built with crop_root) replaces PNG decode
+    with a memmap gather for packed crops; unpacked crops fall back to
+    the decoder per row.
     """
     model, variables, config = (prepared if prepared is not None
                                 else load_student_dir(model_dir,
@@ -166,12 +169,19 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
         # would double the host->device bytes on upload-bound links.
         flow = (np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
                 if config['use_flow'] else None)
-        crops_mod.decode_crop_batch(
-            [prefix + '.png' for _, _, prefix in chunk], img_dim,
-            flow_paths=(['{}.{}.png'.format(prefix, flow_img_name)
-                         for _, _, prefix in chunk]
-                        if config['use_flow'] else None),
-            rgb_out=rgb, flow_out=flow)
+        if shard_reader is not None:
+            from ..data.shards import fill_or_decode
+            fill_or_decode(
+                shard_reader, [prefix for _, _, prefix in chunk], img_dim,
+                flow_img_name=flow_img_name, rgb_out=rgb[:len(chunk)],
+                flow_out=flow[:len(chunk)] if flow is not None else None)
+        else:
+            crops_mod.decode_crop_batch(
+                [prefix + '.png' for _, _, prefix in chunk], img_dim,
+                flow_paths=(['{}.{}.png'.format(prefix, flow_img_name)
+                             for _, _, prefix in chunk]
+                            if config['use_flow'] else None),
+                rgb_out=rgb, flow_out=flow)
         if mesh is not None:
             # Multi-device placement stays on the MAIN thread (compute):
             # a sharded device_put racing an in-flight sharded program

@@ -20,22 +20,31 @@ def get_args():
     parser.add_argument('--no_flip', action='store_true')
     parser.add_argument('--flow_img', type=str)
     parser.add_argument('--batch_size', type=int, default=512)
+    parser.add_argument('--crop_shards', type=str,
+                        help='packed crop-shard dir (tools/pack_crops); '
+                             'replaces PNG decode with a memmap gather')
     return parser.parse_args()
 
 
 def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
-         flow_img, batch_size):
+         flow_img, batch_size, crop_shards=None):
     if dataset == 'tennis':
+        crop_dir = paths.TENNIS_CROP_DIR
         videos, tasks = scan_tennis_crop_dir(
-            paths.TENNIS_VIDEO_DIR, paths.TENNIS_CROP_DIR)
+            paths.TENNIS_VIDEO_DIR, crop_dir)
     else:
         crop_dir = {'fs': paths.FS_CROP_DIR, 'fx': paths.FX_CROP_DIR,
                     'diving48': paths.DIVING48_CROP_DIR}[dataset]
         videos, tasks = scan_crop_dir(crop_dir)
 
+    shard_reader = None
+    if crop_shards:
+        from ..data.shards import ShardReader
+        shard_reader = ShardReader(crop_shards, crop_root=crop_dir)
+
     apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=model_epoch,
               flow_img_name=flow_img, jitter=jitter, no_flip=no_flip,
-              batch_size=batch_size)
+              batch_size=batch_size, shard_reader=shard_reader)
     print('Done!')
 
 

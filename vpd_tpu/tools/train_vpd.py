@@ -51,6 +51,9 @@ def get_args():
     parser.add_argument('--num_workers', type=int, default=0,
                         help='decode/sample worker processes '
                              '(reference DataLoader num_workers)')
+    parser.add_argument('--crop_shards', type=str,
+                        help='packed crop-shard dir (tools/pack_crops); '
+                             'replaces PNG decode with a memmap gather')
     return parser.parse_args()
 
 
@@ -71,7 +74,8 @@ def get_exclude_prefixes(dataset):
 def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          learning_rate, img_dim, flow_img, motion, encoder_arch,
          model_select_window, pretrained, no_test_video, min_pose_score,
-         emb_dir, seed, num_workers=0, init_weights=None):
+         emb_dir, seed, num_workers=0, init_weights=None,
+         crop_shards=None):
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
     exclude = get_exclude_prefixes(dataset) if no_test_video else None
@@ -82,7 +86,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
     train, val = train_val_split(samples, 0.2, seed=seed)
 
     crop_dir = CROP_DIRS[dataset]
-    src_kwargs = {'flow_img_name': flow_img}
+    src_kwargs = {'flow_img_name': flow_img, 'shard_dir': crop_shards}
     if num_workers > 0:
         from ..data.parallel_batcher import MultiprocessBatcher
 
