@@ -37,6 +37,9 @@ def get_args():
                    help='5-channel student (decodes a flow PNG per crop)')
     p.add_argument('--arch', default='resnet34')
     p.add_argument('--emb_dim', type=int, default=32)
+    p.add_argument('--shards', action='store_true',
+                   help='pack the corpus into crop shards first and feed '
+                        'extraction from the memmap gather (no decode)')
     return p.parse_args()
 
 
@@ -115,21 +118,42 @@ def main():
     videos, tasks = scan_crop_dir(corpus_dir)
     n = len(tasks)
 
-    # (a) decode-only roof (native loader, the host side of the pipeline)
+    # (a) host-side roof: PNG decode (native loader) or, with --shards,
+    # the memmap gather that replaces it.
     from ..data import native_loader
     rgb_paths = [prefix + '.png' for _, _, prefix in tasks]
     flow_paths = ([p[:-4] + '.flow.png' for p in rgb_paths]
                   if args.flow else None)
     use_native = native_loader.available()
-    t0 = time.perf_counter()
-    if use_native:
-        native_loader.decode_crops(rgb_paths, args.img_dim,
-                                   flow_paths=flow_paths,
-                                   n_threads=args.threads)
+    shard_reader = None
+    pack_rate = None
+    if args.shards:
+        from ..data.shards import ShardReader, pack_crops
+        shard_dir = os.path.join(work, 'shards')
+        t0 = time.perf_counter()
+        pack_crops(corpus_dir, shard_dir, args.img_dim,
+                   flow_img_name='flow' if args.flow else None,
+                   use_mask=False, log=lambda *a: None)
+        pack_rate = n / (time.perf_counter() - t0)
+        shard_reader = ShardReader(shard_dir, crop_root=corpus_dir)
+        prefixes = [prefix for _, _, prefix in tasks]
+        rgb_buf = np.zeros((n, args.img_dim, args.img_dim, 3), np.uint8)
+        flow_buf = np.zeros_like(rgb_buf) if args.flow else None
+        t0 = time.perf_counter()
+        missing = shard_reader.fill(prefixes, rgb_buf, flow_buf)
+        decode_rate = n / (time.perf_counter() - t0)
+        assert not missing
+        del rgb_buf, flow_buf
     else:
-        crops_mod.decode_crop_batch(rgb_paths, args.img_dim,
-                                    flow_paths=flow_paths)
-    decode_rate = n / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        if use_native:
+            native_loader.decode_crops(rgb_paths, args.img_dim,
+                                       flow_paths=flow_paths,
+                                       n_threads=args.threads)
+        else:
+            crops_mod.decode_crop_batch(rgb_paths, args.img_dim,
+                                        flow_paths=flow_paths)
+        decode_rate = n / (time.perf_counter() - t0)
 
     # Load weights + compile the embed program once (steady-state
     # extraction amortizes this over the whole corpus; timing it would
@@ -155,7 +179,8 @@ def main():
     apply_vpd(videos, tasks, model_dir, out_dir,
               flow_img_name='flow' if args.flow else None,
               batch_size=args.batch_size, log=lambda *a: None,
-              prepared=(model, variables, config), embed_fn=embed)
+              prepared=(model, variables, config), embed_fn=embed,
+              shard_reader=shard_reader)
     e2e_rate = n / (time.perf_counter() - t0)
     assert len(os.listdir(out_dir)) == args.num_videos
 
@@ -178,7 +203,10 @@ def main():
         'flow': args.flow,
         'native_loader': use_native,
         'host_cores': os.cpu_count(),
+        'shards': args.shards,
     }
+    if pack_rate is not None:
+        result['pack_rate'] = round(pack_rate, 1)
     print(json.dumps(result))
     if tmp and not args.corpus_dir:
         shutil.rmtree(tmp, ignore_errors=True)
