@@ -117,3 +117,32 @@ def test_pad_sequences():
     assert padded.shape == (2, 5, 2)
     assert list(lens) == [3, 5]
     assert np.all(padded[0, 3:] == 0)
+
+
+def test_prewarm_shares_jit_cache():
+    """prewarm_seq_model compiles the SAME cached programs a subsequent
+    trainer uses (no second cache entry), and training still works."""
+    from vpd_tpu.train.classifier import (_cached_train_step, bucket_len,
+                                          SeqModelTrainer,
+                                          prewarm_seq_model)
+
+    rng = np.random.default_rng(0)
+    X = [rng.normal(size=(rng.integers(5, 12), 4)).astype(np.float32)
+         for _ in range(12)]
+    y = np.array([i % 2 for i in range(12)])
+
+    before = _cached_train_step.cache_info().currsize
+    th = prewarm_seq_model('gru', 2, hidden_dim=8, seq_dim=4,
+                           max_len=max(len(x) for x in X),
+                           batch_size=6, block=True, depth=1)
+    assert not th.is_alive()
+    mid = _cached_train_step.cache_info().currsize
+    assert mid == before + 1  # prewarm created the entry
+
+    trainer = SeqModelTrainer('gru', X, y, hidden_dim=8, batch_size=6,
+                              num_epochs=3, min_epochs=1, depth=1)
+    # the trainer reused the prewarmed entry rather than adding one
+    assert _cached_train_step.cache_info().currsize == mid
+    assert bucket_len(11) == 16 and bucket_len(17) == 32
+    pred = trainer.predict(X[0])
+    assert pred[0] in (0, 1)

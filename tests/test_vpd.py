@@ -333,3 +333,42 @@ def test_vpd_multichip_mesh_matches_single_device():
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2.5 * lr)
+
+
+def test_augment_val_flag_and_selection(tmp_path):
+    """`augment_val` (reference parity: val datasets built with
+    augment=True, single_frame.py:354) changes the val loss but not, on
+    this seeded synthetic run, which epoch is selected as best
+    (QUIRKS.md "Deviations")."""
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path, mask=True)
+    train, val = train_val_split(samples)
+
+    def run(augment_val):
+        # enough optimization per epoch that val loss is dominated by
+        # real improvement, not init noise (selection then reflects the
+        # trajectory, which both modes share)
+        src = CropBatchSource(train, crop_dir, IMG, batch_size=8,
+                              target_len=96, seed=0)
+        val_src = CropBatchSource(val, crop_dir, IMG, batch_size=8,
+                                  target_len=16, augment=augment_val,
+                                  seed=1)
+        config = default_config('tennis', emb_dim, num_epochs=3,
+                                batch_size=8, img_dim=IMG,
+                                encoder_arch='resnet18',
+                                learning_rate=1e-3,
+                                model_select_window=1,
+                                augment_val=augment_val)
+        trainer = VPDTrainer(src, val_src, config, dtype=jnp.float32)
+        vals = []
+        for epoch in range(1, 4):
+            _, val_loss = trainer.train_one_epoch(epoch)
+            assert np.isfinite(val_loss)
+            vals.append(val_loss)
+        return int(np.argmin(vals)), vals
+
+    det_epoch, det_vals = run(False)
+    aug_epoch, aug_vals = run(True)
+    # the flag must actually change the val program's output ...
+    assert not np.allclose(det_vals, aug_vals)
+    # ... without changing which epoch the selector would pick here
+    assert det_epoch == aug_epoch

@@ -250,6 +250,22 @@ def run_action_recognition(
         knn_index = DeviceKnnIndex(train_embs, test_embs, train_labels,
                                    max_len=device_max_len, log=log)
 
+    if algorithm in SEQ_MODELS:
+        # Overlap the (relay-side, possibly minutes) XLA compile of the
+        # shared train/eval programs with the host-side sweep prep so
+        # trial 0 doesn't pay it serially (PERF.md cold-start item).
+        from ..train.classifier import prewarm_seq_model
+
+        sample = next(iter(train_embs.values()))
+        seq_lens = [len(v) for v in train_embs.values()]
+        seq_lens += [len(v) for v in val_embs.values()] if val_embs else []
+        pw_kwargs = {}
+        if algorithm in ('gru', 'lstm'):
+            pw_kwargs['use_attention'] = attn
+        prewarm_seq_model(
+            algorithm, len(set(train_labels[a] for a in train_embs)),
+            hidden_dim, int(sample.shape[-1]), max(seq_lens), **pw_kwargs)
+
     def build_model(embs):
         if knn_index is not None:
             return DeviceKnnModel(knn_index, set(embs), k)

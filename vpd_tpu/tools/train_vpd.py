@@ -54,6 +54,11 @@ def get_args():
     parser.add_argument('--crop_shards', type=str,
                         help='packed crop-shard dir (tools/pack_crops); '
                              'replaces PNG decode with a memmap gather')
+    parser.add_argument('--augment_val', action='store_true',
+                        help='augment validation batches like the '
+                             'reference does (vpd_dataset/common.py:'
+                             '83-108); default is deterministic val '
+                             '(QUIRKS.md)')
     return parser.parse_args()
 
 
@@ -75,7 +80,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          learning_rate, img_dim, flow_img, motion, encoder_arch,
          model_select_window, pretrained, no_test_video, min_pose_score,
          emb_dir, seed, num_workers=0, init_weights=None,
-         crop_shards=None):
+         crop_shards=None, augment_val=False):
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
     exclude = get_exclude_prefixes(dataset) if no_test_video else None
@@ -96,9 +101,11 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
                 seed=seed + 1000 * (wid + 1), **src_kwargs)
 
         def make_val(wid):
+            # augment_val: the reference samples val with flips too
+            # (single_frame.py:173 with augment=True)
             return CropBatchSource(
                 val, crop_dir, img_dim, batch_size, target_len=4000,
-                augment=False, seed=seed + 1 + 1000 * (wid + 1),
+                augment=augment_val, seed=seed + 1 + 1000 * (wid + 1),
                 **src_kwargs)
 
         # workers fork BEFORE the mesh initializes any jax backend
@@ -113,7 +120,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
             seed=seed, **src_kwargs)
         val_src = CropBatchSource(
             val, crop_dir, img_dim, batch_size, target_len=4000,
-            augment=False, seed=seed + 1, **src_kwargs)
+            augment=augment_val, seed=seed + 1, **src_kwargs)
 
     # Single-device mesh: pre-shard on the prefetch thread so the H2D
     # upload starts while the previous step is in flight (shard_batch on
@@ -134,7 +141,8 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
         use_flow=flow_img is not None, motion=motion,
         encoder_arch=encoder_arch, pretrained=pretrained,
         model_select_window=model_select_window,
-        checkpoint_frequency=checkpoint_frequency)
+        checkpoint_frequency=checkpoint_frequency,
+        augment_val=augment_val)
 
     trainer = VPDTrainer(train_src, val_src, config, save_dir=save_dir,
                          mesh=mesh, seed=seed,

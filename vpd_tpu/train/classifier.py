@@ -13,6 +13,7 @@ batch); lr/weight-decay arrive as traced scalars from the host schedule.
 
 import functools
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,12 @@ import optax
 
 from ..core.schedule import CyclicCosineRestarts
 from ..models.gru import CNNClassifier, SeqClassifier
+
+
+def bucket_len(n):
+    """Power-of-two time-axis bucket (min 16): shape-stable across
+    few-shot trials so they share one compiled program."""
+    return max(16, 1 << int(math.ceil(math.log2(max(int(n), 1)))))
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,6 +109,55 @@ def make_model(arch_type, num_classes, hidden_dim, **kwargs):
                          num_classes=num_classes, **kwargs)
 
 
+_PREWARM_LOCK = threading.Lock()
+
+
+def prewarm_seq_model(arch_type, num_classes, hidden_dim, seq_dim,
+                      max_len, batch_size=50, seed=0, block=False,
+                      **kwargs):
+    """Start compiling the shared train/eval programs on a background
+    thread, overlapping the (possibly minutes-long, relay-side) XLA
+    compile with host-side sweep preparation so trial 0 doesn't pay it
+    serially. Shapes must match the sweep's: same model config kwargs,
+    batch_size, and the bucketed max_len the trainers will use. The jit
+    caches (`_cached_train_step` / `_cached_logits_fn`) dedupe with the
+    sweep's own calls, and concurrent first-calls of one jitted program
+    block on a single shared compile. Best-effort: failures are
+    swallowed (the sweep then compiles at trial 0 as before).
+    """
+    def work():
+        try:
+            with _PREWARM_LOCK:
+                model = make_model(arch_type, num_classes, hidden_dim,
+                                   **kwargs)
+                step = _cached_train_step(model)
+                logits = _cached_logits_fn(model)
+            t = bucket_len(max_len)
+            variables = model.init(
+                {'params': jax.random.key(seed)},
+                jnp.zeros((1, t, seq_dim)), jnp.ones((1,), jnp.int32))
+            params = variables['params']
+            stats = variables.get('batch_stats', {})
+            opt_state = _shared_tx().init(params)
+            x = np.zeros((batch_size, t, seq_dim), np.float32)
+            lens = np.full((batch_size,), t, np.int32)
+            y = np.zeros((batch_size,), np.int32)
+            valid = np.ones((batch_size,), bool)
+            out = step(params, stats, opt_state, x, lens, y, valid,
+                       np.float32(1e-3), np.float32(0.01),
+                       jax.random.key(seed + 1), np.int32(1))
+            np.asarray(out[3])  # readback forces the (lazy) relay compile
+            np.asarray(logits(params, stats, x, lens))
+        except Exception:  # pragma: no cover - best-effort warm-up
+            pass
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    if block:
+        th.join()
+    return th
+
+
 class SeqModelTrainer:
     """Train + predict wrapper (reference BaseSeqModel semantics)."""
 
@@ -123,7 +179,7 @@ class SeqModelTrainer:
         # different train subsets per trial, and a per-trial max length
         # would give every trial a fresh shape (and a fresh ~minutes RNN
         # compile); bucketing keeps trials on the shared jit cache.
-        max_len = max(16, 1 << int(math.ceil(math.log2(max(max_len, 1)))))
+        max_len = bucket_len(max_len)
         Xp, lens = pad_sequences(X, max_len)
         yp = np.asarray(y, dtype=np.int32)
 
@@ -235,7 +291,7 @@ class SeqModelTrainer:
     def predict(self, x, full=False):
         x = np.asarray(x)
         # bucket the time axis to limit re-jitting across query lengths
-        bucket = max(16, 1 << int(np.ceil(np.log2(max(len(x), 1)))))
+        bucket = bucket_len(len(x))
         xp, lens = pad_sequences([x], max_len=bucket)
         out = np.asarray(self._logits(
             self.params, self.batch_stats, xp, lens))[0]

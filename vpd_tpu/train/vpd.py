@@ -119,6 +119,32 @@ def make_eval_step(model, mean, std, use_flow=False):
     return step
 
 
+def make_aug_eval_step(model, mean, std, img_dim=128, use_flow=False,
+                       use_mask=True):
+    """Validation step WITH train-time augmentation (reference parity:
+    the reference builds its val datasets with augment=True,
+    `vpd_dataset/single_frame.py:354` + `vpd_dataset/common.py:83-108`,
+    so val batches get jitter/crop/flip). Model stays in eval mode.
+    Off by default — see QUIRKS.md "Deviations"; enable with the
+    `augment_val` config flag / `--augment_val`."""
+
+    def step(state, batch, rng, step_idx):
+        aug_rng = jax.random.fold_in(rng, step_idx)
+        imgs, _ = train_augment_batch(
+            aug_rng, batch['rgb'], mean, std,
+            flow_u8=batch.get('flow') if use_flow else None,
+            mask_u8=batch.get('mask') if use_mask else None,
+            flip=batch['flip'], out_size=img_dim)
+        out = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            imgs, train=False)
+        loss_sum = jnp.sum(jnp.square(out - batch['emb']))
+        return {'emb_loss_sum': loss_sum,
+                'n': jnp.float32(out.shape[0])}
+
+    return jax.jit(step)
+
+
 def make_embed_fn(model):
     """Deterministic embed of preprocessed (B, S, S, C) float images."""
 

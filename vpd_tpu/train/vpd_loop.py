@@ -14,8 +14,8 @@ from ..core.io import store_json
 from ..core.mesh import get_mesh, shard_batch, step_sync_needed
 from ..data.augment import RGB_MEAN_STD
 from ..models import build_encoder
-from .vpd import (MotionHead, VPDStudent, create_state, make_eval_step,
-                  make_train_step)
+from .vpd import (MotionHead, VPDStudent, create_state, make_aug_eval_step,
+                  make_eval_step, make_train_step)
 
 
 def build_student(config, dtype=None):
@@ -56,9 +56,20 @@ class VPDTrainer:
         self.train_step = make_train_step(
             self.model, mean, std, img_dim=img_dim,
             use_flow=config['use_flow'])
-        self.eval_step = make_eval_step(
-            self.model, mean, std, use_flow=config['use_flow'])
+        if self.config.get('augment_val'):
+            # Reference parity: val batches are augmented too
+            # (single_frame.py:354); see QUIRKS.md "Deviations".
+            self.eval_step = None
+            self.aug_eval_step = make_aug_eval_step(
+                self.model, mean, std, img_dim=img_dim,
+                use_flow=config['use_flow'])
+        else:
+            self.eval_step = make_eval_step(
+                self.model, mean, std, use_flow=config['use_flow'])
+            self.aug_eval_step = None
         self.rng = jax.random.key(seed + 1)
+        self.val_rng = jax.random.key(seed + 2)
+        self._val_steps = 0
 
         self.losses = []
         self.selector = ckpt.MovingAvgSelector(
@@ -130,6 +141,10 @@ class VPDTrainer:
             batch = shard_batch(source.next_batch(), self.mesh)
             if train:
                 self.state, m = self.train_step(self.state, batch, self.rng)
+            elif self.aug_eval_step is not None:
+                m = self.aug_eval_step(self.state, batch, self.val_rng,
+                                       np.int32(self._val_steps))
+                self._val_steps += 1
             else:
                 m = self.eval_step(self.state, batch)
             if sync:
@@ -206,9 +221,11 @@ class VPDTrainer:
 def default_config(dataset, emb_dim, num_epochs=1000, batch_size=100,
                    learning_rate=5e-4, img_dim=128, use_flow=False,
                    motion=False, encoder_arch='resnet34', pretrained=False,
-                   model_select_window=5, checkpoint_frequency=None):
+                   model_select_window=5, checkpoint_frequency=None,
+                   augment_val=False):
     """Manifest schema parity with `train_vpd_model.py:222-228`."""
     return {
+        'augment_val': augment_val,
         'dataset': dataset,
         'num_epochs': num_epochs,
         'batch_size': batch_size,
