@@ -100,6 +100,9 @@ def color_jitter(rgb, key, brightness=0.2, contrast=0.2, saturation=0.05,
     fs = jax.random.uniform(ks, (), minval=1 - saturation,
                             maxval=1 + saturation)
     fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+    # factors are sampled in f32 for RNG-stream stability across dtypes,
+    # then cast so bf16 inputs stay bf16 (strong f32 would promote)
+    fb, fc, fs, fh = (f.astype(rgb.dtype) for f in (fb, fc, fs, fh))
 
     rgb = jnp.clip(rgb * fb, 0., 1.)
     gray = jnp.mean(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
@@ -140,8 +143,8 @@ def bilinear_resample(img, top, left, crop_h, crop_w, out_h, out_w):
     h, w = img.shape[0], img.shape[1]
     ys = top + (jnp.arange(out_h) + 0.5) * crop_h / out_h - 0.5
     xs = left + (jnp.arange(out_w) + 0.5) * crop_w / out_w - 0.5
-    wy = _interp_matrix(ys, h)  # (out_h, h)
-    wx = _interp_matrix(xs, w)  # (out_w, w)
+    wy = _interp_matrix(ys, h).astype(img.dtype)  # (out_h, h)
+    wx = _interp_matrix(xs, w).astype(img.dtype)  # (out_w, w)
     tmp = jnp.einsum('iy,yxc->ixc', wy, img)
     return jnp.einsum('jx,ixc->ijc', wx, tmp)
 
@@ -165,22 +168,27 @@ def random_resized_crop(img, key, out_size, scale=(0.5, 1.0),
 
 
 def normalize_rgb(rgb01, mean, std):
-    return (rgb01 - jnp.asarray(mean)) / jnp.asarray(std)
+    return ((rgb01 - jnp.asarray(mean, rgb01.dtype))
+            / jnp.asarray(std, rgb01.dtype))
 
 
-def decode_flow(flow_u8):
+def decode_flow(flow_u8, dtype=jnp.float32):
     """(H, W, >=2) uint8 flow PNG -> 2ch float in [-0.5, 0.5]."""
-    return flow_u8[..., :2].astype(jnp.float32) / 255. - 0.5
+    return flow_u8[..., :2].astype(dtype) / 255. - 0.5
 
 
 def train_augment_batch(key, rgb_u8, mean, std, flow_u8=None, mask_u8=None,
                         flip=None, out_size=128, jitter=True,
-                        mask_noise_prob=0.5):
+                        mask_noise_prob=0.5, dtype=jnp.float32):
     """The full fused train-time augmentation over an NHWC uint8 batch.
 
     rgb_u8: (B, H, W, 3); flow_u8: (B, H, W, >=2) or None; mask_u8:
     (B, H, W) person mask or None; flip: (B,) bool or None (sampled here).
-    Returns (B, out, out, C) float32 with C = 3 or 5, already normalized.
+    Returns (B, out, out, C) in `dtype` with C = 3 or 5, normalized.
+    `dtype=bfloat16` halves the augment block's HBM traffic and runs the
+    resample matmuls at MXU bf16 rate (the student model is bf16 anyway,
+    so the cast merely moves earlier); default float32 is bit-compatible
+    with rounds 1-2.
     """
     b = rgb_u8.shape[0]
     keys = jax.random.split(key, b)
@@ -190,20 +198,22 @@ def train_augment_batch(key, rgb_u8, mean, std, flow_u8=None, mask_u8=None,
 
     def one(img_u8, flow1, mask1, fl, k):
         kj, kn, kc, kp = jax.random.split(k, 4)
-        rgb = img_u8.astype(jnp.float32) / 255.
+        rgb = img_u8.astype(dtype) / 255.
         if jitter:
             rgb = color_jitter(rgb, kj, **JITTER)
         x = normalize_rgb(rgb, mean, std)
 
         if mask1 is not None:
             # reference quirk: noise on PERSON pixels (mask != 0)
-            noise = jax.random.normal(kn, x.shape) * RANDOM_NOISE_SD
+            noise = jax.random.normal(kn, x.shape, x.dtype) \
+                * RANDOM_NOISE_SD
             person = (mask1 > 0)[..., None]
             apply_noise = jax.random.uniform(kp, ()) <= mask_noise_prob
-            x = x + jnp.where(apply_noise & person, noise, 0.)
+            x = x + jnp.where(apply_noise & person, noise,
+                              jnp.zeros((), x.dtype))
 
         if flow1 is not None:
-            x = jnp.concatenate([x, decode_flow(flow1)], axis=-1)
+            x = jnp.concatenate([x, decode_flow(flow1, x.dtype)], axis=-1)
 
         def do_flip(z):
             z = z[:, ::-1, :]

@@ -209,11 +209,14 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, learning_rate,
         trainer.save_config()
 
     specs = [FAMILIES[n].spec if n in FAMILIES else None for n in dataset]
-    for epoch in range(start_epoch, num_epochs + 1):
-        trainer.train_one_epoch(epoch)
-        if render_preview_frequency and \
-                epoch % render_preview_frequency == 0:
-            trainer.render_previews(train_samplers, specs, epoch)
+    try:
+        for epoch in range(start_epoch, num_epochs + 1):
+            trainer.train_one_epoch(epoch)
+            if render_preview_frequency and \
+                    epoch % render_preview_frequency == 0:
+                trainer.render_previews(train_samplers, specs, epoch)
+    finally:
+        trainer.close()
     print('Done!')
 
 

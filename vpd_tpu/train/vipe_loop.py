@@ -68,6 +68,23 @@ class VIPETrainer:
             self.model, kp_mask, weight_3d=LIFT_3D_WEIGHT)
         self.rng = jax.random.key(seed + 1)
 
+        if self.mesh.size == 1:
+            # Single-device: sample + start the H2D upload on a prefetch
+            # thread so the sampler (~20 ms/batch, PERF.md) overlaps the
+            # in-flight step instead of serializing with dispatch — the
+            # same pattern as the VPD loop. Multi-device meshes keep
+            # main-thread placement (a sharded device_put racing a
+            # running collective deadlocks the CPU backend's rendezvous,
+            # core/mesh.step_sync_needed).
+            from ..data.crops import PrefetchedSource
+
+            to_dev = lambda b: shard_batch(b, self.mesh)
+            self.train_batcher = PrefetchedSource(
+                train_batcher, transform=to_dev)
+            if val_batcher is not None:
+                self.val_batcher = PrefetchedSource(
+                    val_batcher, transform=to_dev)
+
         self.losses = []
         self.selector = ckpt.MovingAvgSelector(
             self.config.get('model_select_window', 1))
@@ -173,6 +190,13 @@ class VIPETrainer:
                 'val loss: {:0.5f}, contra: {:0.3f}'.format(
                     epoch, train_m['loss'], train_m['contra'],
                     val_m['loss'], val_m['contra']))
+
+    def close(self):
+        """Stop the prefetch threads (a daemon thread blocked inside a
+        device_put at interpreter shutdown aborts the process)."""
+        for b in (self.train_batcher, self.val_batcher):
+            if hasattr(b, 'close'):
+                b.close()
 
     def render_previews(self, samplers, specs, epoch, count=10,
                         log=print):

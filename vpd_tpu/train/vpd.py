@@ -65,8 +65,13 @@ def create_state(model, sample_img, learning_rate, seed=0,
 
 
 def make_train_step(model, mean, std, img_dim=128, use_flow=False,
-                    use_mask=True, donate=True):
-    """One fused program: augment uint8 batch -> student fwd/bwd -> AdamW."""
+                    use_mask=True, donate=True, aug_dtype=None):
+    """One fused program: augment uint8 batch -> student fwd/bwd -> AdamW.
+
+    `aug_dtype=bfloat16` runs the augmentation block in bf16 (see
+    `train_augment_batch`); default float32 matches rounds 1-2 bit-wise.
+    """
+    aug_dtype = aug_dtype if aug_dtype is not None else jnp.float32
 
     def step(state, batch, rng):
         aug_rng = jax.random.fold_in(rng, state.step)
@@ -74,7 +79,7 @@ def make_train_step(model, mean, std, img_dim=128, use_flow=False,
             aug_rng, batch['rgb'], mean, std,
             flow_u8=batch.get('flow') if use_flow else None,
             mask_u8=batch.get('mask') if use_mask else None,
-            flip=batch['flip'], out_size=img_dim)
+            flip=batch['flip'], out_size=img_dim, dtype=aug_dtype)
 
         def loss_fn(params):
             out, mutated = model.apply(

@@ -53,9 +53,15 @@ class VPDTrainer:
             self._init_pretrained(pretrained_weights, channels)
 
         mean, std = config['rgb_mean_std']
+        import jax.numpy as jnp
+        model_dtype = dtype if dtype is not None else jnp.bfloat16
+        # bf16 students augment in bf16 too: the cast merely moves ahead
+        # of the encoder, halves the augment block's HBM traffic, and
+        # runs the resample matmuls at MXU bf16 rate (+5% step
+        # throughput, PERF.md round 3). f32 students keep f32 end-to-end.
         self.train_step = make_train_step(
             self.model, mean, std, img_dim=img_dim,
-            use_flow=config['use_flow'])
+            use_flow=config['use_flow'], aug_dtype=model_dtype)
         if self.config.get('augment_val'):
             # Reference parity: val batches are augmented too
             # (single_frame.py:354); see QUIRKS.md "Deviations".
