@@ -127,19 +127,22 @@ def test_prewarm_shares_jit_cache():
                                           prewarm_seq_model)
 
     rng = np.random.default_rng(0)
+    # hidden_dim=9 is unique to this test: other tests in the suite may
+    # already have cached common configs, which would make the +1
+    # assertion flaky under full-suite ordering
     X = [rng.normal(size=(rng.integers(5, 12), 4)).astype(np.float32)
          for _ in range(12)]
     y = np.array([i % 2 for i in range(12)])
 
     before = _cached_train_step.cache_info().currsize
-    th = prewarm_seq_model('gru', 2, hidden_dim=8, seq_dim=4,
+    th = prewarm_seq_model('gru', 2, hidden_dim=9, seq_dim=4,
                            max_len=max(len(x) for x in X),
                            batch_size=6, block=True, depth=1)
     assert not th.is_alive()
     mid = _cached_train_step.cache_info().currsize
     assert mid == before + 1  # prewarm created the entry
 
-    trainer = SeqModelTrainer('gru', X, y, hidden_dim=8, batch_size=6,
+    trainer = SeqModelTrainer('gru', X, y, hidden_dim=9, batch_size=6,
                               num_epochs=3, min_epochs=1, depth=1)
     # the trainer reused the prewarmed entry rather than adding one
     assert _cached_train_step.cache_info().currsize == mid
