@@ -22,6 +22,7 @@ The reference's conv-ResNet half of models/module.py needs torchvision
 here are the reference's own code, untouched.
 """
 
+import math
 import os
 import sys
 import types
@@ -345,3 +346,42 @@ def test_group_by_frame_oracle(two_d):
         x = rng.normal(0, 2, (12, 6) if not two_d else (12, 2, 6))
         np.testing.assert_allclose(
             mine.normalize_rows(x.copy()), ref.normalize_rows(x.copy()))
+
+
+# ---------------------------------------------------------------------------
+# util/torch/cyclic_scheduler.py vs core/schedule.py
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('epoch_size,batch_size,restart_period', [
+    (104, 16, 4),   # ragged final batch, several t_mult=2 restarts
+    (96, 16, 3),    # exact batches
+    (50, 50, 1),    # single batch per epoch, restart every epoch
+])
+def test_cyclic_scheduler_oracle(epoch_size, batch_size, restart_period):
+    """The reference's vendored adamwr scheduler (the actual torch class,
+    driven exactly as util/classifier.py:205-289 drives it) vs
+    core/schedule.CyclicCosineRestarts, full (lr, wd) trajectories."""
+    from util.torch.cyclic_scheduler import CyclicLRWithRestarts
+
+    from vpd_tpu.core.schedule import CyclicCosineRestarts
+
+    lr0 = 1e-3
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=lr0)  # wd = torch default 0.01
+    ref = CyclicLRWithRestarts(opt, batch_size, epoch_size,
+                               restart_period=restart_period)
+    mine = CyclicCosineRestarts(lr0, 0.01, batch_size, epoch_size,
+                                restart_period=restart_period)
+
+    n_batches = math.ceil(epoch_size / batch_size)
+    for epoch in range(13):
+        ref.step()
+        mine.epoch_start()
+        for _ in range(n_batches):
+            g = opt.param_groups[0]
+            # worst observed divergence is ~5e-11 (fp association order
+            # inside the cosine policy), far below training significance
+            assert abs(g['lr'] - mine.lr) < 1e-9, epoch
+            assert abs(g['weight_decay'] - mine.weight_decay) < 1e-9
+            ref.batch_step()
+            mine.batch_step()
