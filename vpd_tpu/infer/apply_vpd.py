@@ -24,7 +24,8 @@ from ..core import checkpoint as ckpt
 from ..core.io import load_json, store_pickle
 from ..core.pipeline import run_pipelined
 from ..data import crops as crops_mod
-from ..data.augment import color_jitter, eval_transform_batch, flip_batch
+from ..data.augment import (batch_color_jitter, eval_transform_batch,
+                            flip_batch)
 from ..train.vpd_loop import build_student
 
 EXTRACT_BATCH = 512
@@ -69,10 +70,9 @@ def make_variant_embed(model, variables, config, jitter=0, flip=True,
                                  flow_u8=flow_u8 if use_flow else None)
         variants = [x]
         for j in range(jitter):
-            keys = jax.random.split(jax.random.fold_in(rng, j),
-                                    x.shape[0])
-            jit_rgb = jax.vmap(color_jitter)(
-                rgb_u8.astype(jnp.float32) / 255., keys)
+            jit_rgb = batch_color_jitter(
+                rgb_u8.astype(jnp.float32) / 255.,
+                jax.random.fold_in(rng, j))
             xj = (jit_rgb - jnp.asarray(mean)) / jnp.asarray(std)
             if use_flow:
                 xj = jnp.concatenate([xj, x[..., 3:]], axis=-1)
