@@ -385,3 +385,134 @@ def test_cyclic_scheduler_oracle(epoch_size, batch_size, restart_period):
             assert abs(g['weight_decay'] - mine.weight_decay) < 1e-9
             ref.batch_step()
             mine.batch_step()
+
+
+# ---------------------------------------------------------------------------
+# util/box.py, action_dataset/eval.py, finegym/util.py, diving48/util.py
+# ---------------------------------------------------------------------------
+
+def test_box_oracle():
+    import util.box as ref_box
+
+    from vpd_tpu.utils import box as mine
+
+    rng = np.random.default_rng(9)
+    for _ in range(100):
+        vals = rng.integers(0, 50, 8)
+        r1, r2 = ref_box.Box(*vals[:4]), ref_box.Box(*vals[4:])
+        m1, m2 = mine.Box(*vals[:4]), mine.Box(*vals[4:])
+        if r1.w * r1.h + r2.w * r2.h > 0:
+            assert mine.calc_iou(m1, m2) == ref_box.calc_iou(r1, r2)
+        assert tuple(mine.calc_union(m1, m2)) == \
+            tuple(ref_box.calc_union(r1, r2))
+        x, y = rng.integers(0, 60, 2)
+        assert mine.calc_contains(m1, x, y) == \
+            ref_box.calc_contains(r1, x, y)
+
+
+def test_test_prefixes_oracle():
+    from action_dataset import eval as ref_eval
+
+    from vpd_tpu.datasets import eval_splits as mine
+
+    for ds in ('fs', 'fs_jump', 'tennis', 'tennis_swing'):
+        assert mine.get_test_prefixes(ds) == ref_eval.get_test_prefixes(ds)
+
+
+class _Meta:
+    def __init__(self, fps):
+        self.fps = fps
+
+
+def _synth_finegym(tmp_path, rng):
+    from vpd_tpu.core.io import store_pickle
+
+    annotations, labels, meta = {}, [], {}
+    emb_dir = tmp_path / 'embs'
+    os.makedirs(emb_dir, exist_ok=True)
+    for v in range(3):
+        vid = 'V{:03d}'.format(v)
+        annotations[vid] = {}
+        for e in range(2):
+            ev = 'E_{:05d}'.format(e)
+            segs = {}
+            for a in range(3):
+                act = 'A_{:04d}'.format(a)
+                s = float(rng.uniform(0, 20))
+                segs[act] = {'timestamps': [
+                    (s, s + float(rng.uniform(0.5, 8)))]}
+                labels.append('{}_E_{:05d}_A_{:04d}'.format(vid, e, a))
+            annotations[vid][ev] = {'segments': segs}
+            key = '{}_{}'.format(vid, ev)
+            meta[key] = _Meta(fps=float(rng.choice([25.0, 29.97, 50.0])))
+            embs = [(f, rng.normal(size=4).astype(np.float32), {})
+                    for f in range(0, 1200, int(rng.integers(1, 3)))]
+            store_pickle(str(emb_dir / (key + '.emb.pkl')), embs)
+    labels.append('V999_E_00000_A_0000')  # missing meta -> skipped
+    return annotations, labels, meta, str(emb_dir)
+
+
+@pytest.mark.parametrize('kwargs', [
+    {},
+    {'target_fps': 10.0, 'norm': True},
+    {'target_fps': 10.0, 'interp_skipped': True},
+    {'pre_seconds': 1.5, 'min_seconds': 2, 'max_seconds': 4},
+])
+def test_finegym_load_actions_oracle(tmp_path, kwargs):
+    """The fps-subsample accumulator + interp averaging + frame-window
+    math, head-to-head on a synthetic corpus (finegym/util.py:66-125)."""
+    from finegym import util as ref
+
+    from vpd_tpu.datasets import finegym as mine
+
+    rng = np.random.default_rng(12)
+    annotations, labels, meta, emb_dir = _synth_finegym(tmp_path, rng)
+    want = ref.load_actions(annotations, labels, meta, emb_dir=emb_dir,
+                            **kwargs)
+    got = mine.load_actions(annotations, labels, meta, emb_dir=emb_dir,
+                            **kwargs)
+    assert got.keys() == want.keys() and len(got) == 18
+    for k in want:
+        assert got[k][0] == want[k][0], k  # (start_frame, end_frame)
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            np.testing.assert_allclose(got[k][1], want[k][1], err_msg=k)
+
+
+@pytest.mark.parametrize('kwargs', [{}, {'target_fps': 12.0, 'norm': True}])
+def test_diving48_labels_oracle(tmp_path, kwargs):
+    import json
+
+    from diving48 import util as ref
+
+    from vpd_tpu.core.io import store_pickle
+    from vpd_tpu.datasets import diving48 as mine
+
+    rng = np.random.default_rng(13)
+    emb_dir = tmp_path / 'embs'
+    os.makedirs(emb_dir)
+    actions = []
+    for v in range(5):
+        vid = 'dv{:03d}'.format(v)
+        s = int(rng.integers(0, 50))
+        actions.append({'vid_name': vid, 'start_frame': s,
+                        'end_frame': s + int(rng.integers(10, 80)),
+                        'label': int(rng.integers(0, 48))})
+        embs = [(f, rng.normal(size=4).astype(np.float32), {})
+                for f in range(0, 150, int(rng.integers(1, 3)))]
+        store_pickle(str(emb_dir / (vid + '.emb.pkl')), embs)
+    label_file = str(tmp_path / 'labels.json')
+    with open(label_file, 'w') as fp:
+        json.dump(actions, fp)
+    meta = {a['vid_name']: _Meta(30.0) for a in actions}
+
+    w_labels, w_data = ref.load_labels_and_embeddings(
+        label_file, meta_dict=meta, emb_dir=str(emb_dir), **kwargs)
+    g_labels, g_data = mine.load_labels_and_embeddings(
+        label_file, meta_dict=meta, emb_dir=str(emb_dir), **kwargs)
+    assert g_labels == w_labels
+    assert g_data.keys() == w_data.keys()
+    for k in w_data:
+        assert g_data[k][0] == w_data[k][0]
+        np.testing.assert_allclose(g_data[k][1], w_data[k][1], err_msg=k)
