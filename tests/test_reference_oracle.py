@@ -52,12 +52,72 @@ def _stub_torchvision():
     tvm = _AnyAttr('torchvision.models')
     tvr = types.ModuleType('torchvision.models.resnet')
 
-    class _Block:  # never instantiated by the FC classes under test
-        pass
+    # Faithful torchvision block semantics (the standard public
+    # architecture, also re-typed in test_torch_compat.py) so the
+    # reference's models.module.ResNet class runs as a real oracle.
+    nn = torch.nn
 
-    tvr.BasicBlock = _Block
-    tvr.Bottleneck = _Block
-    tvr.conv1x1 = lambda *a, **k: None
+    def conv3x3(i, o, stride=1, groups=1, dilation=1):
+        return nn.Conv2d(i, o, 3, stride=stride, padding=dilation,
+                         groups=groups, bias=False, dilation=dilation)
+
+    def conv1x1(i, o, stride=1):
+        return nn.Conv2d(i, o, 1, stride=stride, bias=False)
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1,
+                     norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or nn.BatchNorm2d
+            assert groups == 1 and base_width == 64 and dilation == 1
+            self.conv1 = conv3x3(inplanes, planes, stride)
+            self.bn1 = norm_layer(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1,
+                     norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or nn.BatchNorm2d
+            width = int(planes * (base_width / 64.)) * groups
+            self.conv1 = conv1x1(inplanes, width)
+            self.bn1 = norm_layer(width)
+            self.conv2 = conv3x3(width, width, stride, groups, dilation)
+            self.bn2 = norm_layer(width)
+            self.conv3 = conv1x1(width, planes * self.expansion)
+            self.bn3 = norm_layer(planes * self.expansion)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    tvr.BasicBlock = BasicBlock
+    tvr.Bottleneck = Bottleneck
+    tvr.conv1x1 = conv1x1
     tvm.resnet = tvr
     tv.models = tvm
     sys.modules.update({'torchvision': tv, 'torchvision.models': tvm,
@@ -516,3 +576,50 @@ def test_diving48_labels_oracle(tmp_path, kwargs):
     for k in w_data:
         assert g_data[k][0] == w_data[k][0]
         np.testing.assert_allclose(g_data[k][1], w_data[k][1], err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# models/module.py conv ResNet (the reference class itself)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('arch,input_dim', [
+    ('resnet18', 3), ('resnet34', 5), ('resnet50', 3)])
+def test_conv_resnet_oracle(arch, input_dim):
+    """The reference's own models.module.ResNet (built with faithful
+    torchvision block stubs) vs the flax NHWC ResNet with transplanted
+    weights — upgrades test_torch_compat's re-typed mirror to the real
+    class (models/module.py:35-131, incl. ENCODER_ARCH layer tables)."""
+    import models.module as mm
+
+    from vpd_tpu.models import build_encoder
+    from vpd_tpu.models.torch_compat import convert_resnet_state_dict
+
+    cfg = mm.ENCODER_ARCH[arch]
+    torch.manual_seed(7)
+    tmod = mm.ResNet(cfg.block, cfg.layers, input_dim, 16)
+    gen = torch.Generator().manual_seed(8)
+    for m in tmod.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(
+                    m.running_mean.shape, generator=gen) * .05)
+                m.running_var.copy_(torch.rand(
+                    m.running_var.shape, generator=gen) + .5)
+    tmod.eval()
+
+    sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+    params, stats = convert_resnet_state_dict(sd, arch)
+
+    import jax.numpy as jnp
+    x = np.random.default_rng(10).normal(
+        0, 1, (2, 32, 32, input_dim)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)))).numpy()
+    model = build_encoder(arch, 16, dtype=jnp.float32)
+    got = np.asarray(model.apply(
+        {'params': params, 'batch_stats': stats}, x, train=False))
+    for w, g in zip(want, got):
+        cos = float(np.dot(w, g) / (np.linalg.norm(w) * np.linalg.norm(g)))
+        assert cos > 1 - 1e-3, (arch, cos)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-2)
