@@ -623,3 +623,86 @@ def test_conv_resnet_oracle(arch, input_dim):
         cos = float(np.dot(w, g) / (np.linalg.norm(w) * np.linalg.norm(g)))
         assert cos > 1 - 1e-3, (arch, cos)
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# models/rgb.py: the real add_flow_to_model / replace_last_layer surgery
+# ---------------------------------------------------------------------------
+
+def _install_resnet_factories():
+    """Give the torchvision stub working resnet factories (built on the
+    reference's own ResNet class) so models/rgb.py's surgery runs."""
+    tvm = sys.modules['torchvision'].models
+    tvr = sys.modules['torchvision.models.resnet']
+
+    def factory(layers, block_attr):
+        def make(pretrained=False, **kw):
+            import models.module as mm
+            return mm.ResNet(getattr(tvr, block_attr), layers, 3, 1000)
+        return make
+
+    tvm.resnet18 = factory([2, 2, 2, 2], 'BasicBlock')
+    tvm.resnet34 = factory([3, 4, 6, 3], 'BasicBlock')
+    tvm.resnet50 = factory([3, 4, 6, 3], 'Bottleneck')
+    if 'efficientnet_pytorch' not in sys.modules:
+        ep = types.ModuleType('efficientnet_pytorch')
+        ep.EfficientNet = None
+        ep.model = None
+        sys.modules['efficientnet_pytorch'] = ep
+
+
+def test_rgb_surgery_oracle():
+    """The reference's actual add_flow_to_model (mean-expanded 5-channel
+    stem, models/rgb.py:8-37) + replace_last_layer vs
+    torch_compat.imagenet_init_variables, compared end-to-end: both
+    models see the same surgery and produce the same embeddings."""
+    _install_resnet_factories()
+    import models.rgb as ref_rgb
+
+    from vpd_tpu.models import build_encoder
+    from vpd_tpu.models.torch_compat import (_dense,
+                                             imagenet_init_variables)
+
+    import jax.numpy as jnp
+
+    torch.manual_seed(11)
+    backbone = sys.modules['torchvision'].models.resnet34()
+    gen = torch.Generator().manual_seed(12)
+    for m in backbone.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(
+                    m.running_mean.shape, generator=gen) * .05)
+                m.running_var.copy_(torch.rand(
+                    m.running_var.shape, generator=gen) + .5)
+    orig_sd = {k: v.detach().numpy().copy()
+               for k, v in backbone.state_dict().items()}
+
+    surgered = ref_rgb.add_flow_to_model(backbone)
+    surgered = ref_rgb.replace_last_layer(surgered, 'fc', 16)
+    surgered.eval()
+
+    # reference surgery replaces ALL stem channels by the mean kernel
+    assert surgered.conv1.weight.shape == (64, 5, 7, 7)
+    np.testing.assert_allclose(
+        surgered.conv1.weight.detach().numpy(),
+        np.broadcast_to(orig_sd['conv1.weight'].mean(1, keepdims=True),
+                        (64, 5, 7, 7)), rtol=1e-6)
+
+    params, stats = imagenet_init_variables(orig_sd, 'resnet34',
+                                            num_channels=5)
+    params['Dense_0'] = {  # share the (random) new head for comparison
+        'kernel': _dense(surgered.fc.weight.detach().numpy()),
+        'bias': surgered.fc.bias.detach().numpy()}
+
+    x = np.random.default_rng(13).normal(
+        0, 1, (2, 32, 32, 5)).astype(np.float32)
+    with torch.no_grad():
+        want = surgered(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got = np.asarray(build_encoder('resnet34', 16, dtype=jnp.float32)
+                     .apply({'params': params, 'batch_stats': stats},
+                            x, train=False))
+    for w, g in zip(want, got):
+        cos = float(np.dot(w, g) / (np.linalg.norm(w) * np.linalg.norm(g)))
+        assert cos > 1 - 1e-3, cos
