@@ -218,9 +218,24 @@ def fill_or_decode(reader, prefixes, img_dim, *, flow_img_name=None,
     """Shard gather with per-row PNG-decode fallback for unpacked crops.
 
     Drop-in alternative to `decode_crop_batch` over path prefixes; output
-    bytes are identical (the packer used the same decoder).
+    bytes are identical (the packer used the same decoder). Validates the
+    request against the shard meta here — in the shared reader, not per
+    consumer — so a flow-variant or size mismatch fails loudly instead
+    of silently gathering the wrong packed stream.
     """
     from .crops import decode_crop_batch
+
+    assert img_dim == reader.meta['img_dim'], \
+        'shards packed at img_dim={}, requested {}'.format(
+            reader.meta['img_dim'], img_dim)
+    if flow_out is not None:
+        packed = reader.meta['flow_img_name']
+        assert packed == flow_img_name, \
+            'shards packed with flow "{}", requested "{}"'.format(
+                packed, flow_img_name)
+    if mask_out is not None:
+        assert reader.meta['use_mask'], \
+            'shards packed without masks but a mask buffer was requested'
 
     n = len(prefixes)
     if rgb_out is None:

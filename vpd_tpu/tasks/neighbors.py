@@ -38,9 +38,12 @@ def pooled_distances(x, X, distance_fn, processes):
     numpy closures are tagged fork-safe via `fn.fork_safe = True`.
     """
     if not getattr(distance_fn, 'fork_safe', False):
-        import jax._src.xla_bridge as _xb
-
-        if _xb.backends_are_initialized():
+        try:  # private jax API: treat any failure as "assume initialized"
+            import jax._src.xla_bridge as _xb
+            backend_live = _xb.backends_are_initialized()
+        except Exception:
+            backend_live = True
+        if backend_live:
             warnings.warn(
                 'pooled_distances: JAX backend already initialized and '
                 'distance_fn is not tagged fork_safe; running serially '

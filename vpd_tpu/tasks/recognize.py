@@ -250,21 +250,33 @@ def run_action_recognition(
         knn_index = DeviceKnnIndex(train_embs, test_embs, train_labels,
                                    max_len=device_max_len, log=log)
 
-    if algorithm in SEQ_MODELS:
+    bucket_floor = None
+    if algorithm in SEQ_MODELS and load_weights is None:
         # Overlap the (relay-side, possibly minutes) XLA compile of the
         # shared train/eval programs with the host-side sweep prep so
         # trial 0 doesn't pay it serially (PERF.md cold-start item).
+        # Skipped entirely with load_weights (no trial ever trains).
+        # Embedding values can be None for actions with no emb interval
+        # (datasets/recognition_data.py) — skip those like every other
+        # consumer does.
         from ..train.classifier import prewarm_seq_model
 
-        sample = next(iter(train_embs.values()))
-        seq_lens = [len(v) for v in train_embs.values()]
-        seq_lens += [len(v) for v in val_embs.values()] if val_embs else []
-        pw_kwargs = {}
-        if algorithm in ('gru', 'lstm'):
-            pw_kwargs['use_attention'] = attn
-        prewarm_seq_model(
-            algorithm, len(set(train_labels[a] for a in train_embs)),
-            hidden_dim, int(sample.shape[-1]), max(seq_lens), **pw_kwargs)
+        seqs = [v for v in train_embs.values() if v is not None]
+        seqs += [v for v in (val_embs or {}).values() if v is not None]
+        if seqs:
+            # Every trial's trainer gets this same bucket floor below, so
+            # all few-shot subsets share ONE compiled shape — without it,
+            # a subset whose max length falls below the global
+            # power-of-two boundary would compile a second program and
+            # waste the prewarm.
+            bucket_floor = max(len(v) for v in seqs)
+            pw_kwargs = {}
+            if algorithm in ('gru', 'lstm'):
+                pw_kwargs['use_attention'] = attn
+            prewarm_seq_model(
+                algorithm, len(set(train_labels[a] for a in train_embs)),
+                hidden_dim, int(seqs[0].shape[-1]), bucket_floor,
+                **pw_kwargs)
 
     def build_model(embs):
         if knn_index is not None:
@@ -278,6 +290,8 @@ def run_action_recognition(
                 kwargs['use_attention'] = attn
             if load_weights is not None:
                 kwargs['load_weights'] = load_weights
+            if bucket_floor is not None:
+                kwargs['bucket_floor'] = bucket_floor
             return SeqModel(algorithm, embs, train_labels,
                             val_embs=val_embs, val_labels=val_labels,
                             **kwargs)

@@ -165,7 +165,8 @@ class SeqModelTrainer:
                  num_epochs=500, min_epochs=10, wr_count=10,
                  early_term_acc=1, X_val=None, y_val=None, val_freq=1,
                  early_term_val_num_epochs=200, learning_rate=0.001,
-                 load_weights=None, seed=0, log=None, **kwargs):
+                 load_weights=None, seed=0, log=None, bucket_floor=None,
+                 **kwargs):
         self.num_classes = int(np.unique(np.asarray(y)).shape[0])
         self.model = make_model(arch_type, self.num_classes, hidden_dim,
                                 **kwargs)
@@ -174,7 +175,11 @@ class SeqModelTrainer:
 
         max_len = max(
             max(len(x) for x in X),
-            max((len(x) for x in (X_val or [])), default=0))
+            max((len(x) for x in (X_val or [])), default=0),
+            # sweep-wide length floor: every few-shot subset then shares
+            # one bucketed shape (and the prewarmed compile), even when
+            # the subset misses the globally-longest sequence
+            bucket_floor or 0)
         # Bucket the time axis to a power of two: few-shot sweeps draw
         # different train subsets per trial, and a per-trial max length
         # would give every trial a fresh shape (and a fresh ~minutes RNN
