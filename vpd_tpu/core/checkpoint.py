@@ -21,9 +21,18 @@ def _to_host(tree):
 
 
 def save_component(save_dir, name, component, tree):
+    """Atomic write: serialize to a temp file in the same directory and
+    os.replace into place, so a crash/preemption mid-write can never
+    leave a truncated checkpoint where a valid one (e.g. the previous
+    best_epoch) used to be — resume and apply always see either the old
+    complete file or the new complete file."""
     path = os.path.join(save_dir, '{}.{}.ckpt'.format(name, component))
-    with open(path, 'wb') as fp:
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as fp:
         fp.write(serialization.to_bytes(_to_host(tree)))
+        fp.flush()
+        os.fsync(fp.fileno())
+    os.replace(tmp, path)
     return path
 
 

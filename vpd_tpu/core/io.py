@@ -9,6 +9,7 @@ a list of ``(frame_num, ndarray, metadata_dict)`` tuples, written with plain
 import base64
 import gzip
 import json
+import os
 import pickle
 from io import BytesIO
 
@@ -28,14 +29,27 @@ def load_gz_json(fpath):
         return json.load(fp)
 
 
+def _replace_into(fpath, write_fn, mode):
+    """Write via a same-directory temp file + os.replace: a crash or
+    preemption mid-write never leaves a truncated file where a complete
+    one belongs (matters for .emb.pkl outputs of hours-long extractions
+    and for loss.json/config.json read by resume). Bytes are identical
+    to a direct write (golden interchange tests cover this)."""
+    tmp = fpath + '.tmp'
+    with open(tmp, mode) as fp:
+        write_fn(fp)
+    os.replace(tmp, fpath)
+
+
 def store_json(fpath, obj):
-    with open(fpath, 'w') as fp:
-        json.dump(obj, fp)
+    _replace_into(fpath, lambda fp: json.dump(obj, fp), 'w')
 
 
 def store_gz_json(fpath, obj):
-    with gzip.open(fpath, 'wt', encoding='ascii') as fp:
+    tmp = fpath + '.tmp'
+    with gzip.open(tmp, 'wt', encoding='ascii') as fp:
         json.dump(obj, fp)
+    os.replace(tmp, fpath)
 
 
 def load_pickle(fpath):
@@ -44,8 +58,7 @@ def load_pickle(fpath):
 
 
 def store_pickle(fpath, obj):
-    with open(fpath, 'wb') as fp:
-        pickle.dump(obj, fp)
+    _replace_into(fpath, lambda fp: pickle.dump(obj, fp), 'wb')
 
 
 def load_text(fpath):
