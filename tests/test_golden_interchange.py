@@ -43,3 +43,33 @@ def test_golden_loads_with_plain_pickle():
 
     loaded = load_embs_pickle(GOLDEN)
     np.testing.assert_array_equal(loaded[0][1], embs[0][1])
+
+
+def test_atomic_write_crash_safety(tmp_path):
+    """A failed/interrupted store leaves the previous complete file
+    intact (core/io + core/checkpoint write temp + os.replace)."""
+    import numpy as np
+    import pytest
+
+    from vpd_tpu.core import checkpoint as ckpt
+    from vpd_tpu.core.io import load_pickle, store_pickle
+
+    path = str(tmp_path / 'x.emb.pkl')
+    store_pickle(path, [1, 2, 3])
+
+    class Unpicklable:
+        def __reduce__(self):
+            raise RuntimeError('simulated crash mid-serialize')
+
+    with pytest.raises(RuntimeError):
+        store_pickle(path, [Unpicklable()])
+    assert load_pickle(path) == [1, 2, 3]  # old file untouched
+
+    tree = {'w': np.arange(4, dtype=np.float32)}
+    ckpt.save_bundle(str(tmp_path), 'best_epoch', {'encoder': tree})
+    loaded = ckpt.load_component(
+        str(tmp_path), 'best_epoch', 'encoder',
+        {'w': np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(loaded['w'], tree['w'])
+    # no temp residue after successful writes
+    assert not [f for f in tmp_path.iterdir() if f.name.endswith('.tmp')]

@@ -36,8 +36,15 @@ def _replace_into(fpath, write_fn, mode):
     and for loss.json/config.json read by resume). Bytes are identical
     to a direct write (golden interchange tests cover this)."""
     tmp = fpath + '.tmp'
-    with open(tmp, mode) as fp:
-        write_fn(fp)
+    try:
+        with open(tmp, mode) as fp:
+            write_fn(fp)
+    except BaseException:
+        try:
+            os.unlink(tmp)  # drop the partial temp; keep the old file
+        except OSError:
+            pass
+        raise
     os.replace(tmp, fpath)
 
 
