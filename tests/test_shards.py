@@ -153,3 +153,64 @@ def test_apply_vpd_shard_equality(tmp_path):
         with open(tmp_path / 'shard_out' / (v + '.emb.pkl'), 'rb') as fp:
             got = fp.read()
         assert got == want, v
+
+
+def test_hbm_cache_training_matches_streamed(tmp_path):
+    """Training from the HBM crop cache is batch-for-batch identical to
+    the shard-streamed path: same seeds -> same losses."""
+    import jax.numpy as jnp
+
+    from vpd_tpu.data.hbm_cache import CacheIndexSource, DeviceCropCache
+    from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path, mask=True)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, log=lambda *a: None)
+    train, val = train_val_split(samples)
+    cfg = default_config('tennis', emb_dim, num_epochs=2, batch_size=8,
+                         img_dim=IMG, encoder_arch='resnet18',
+                         learning_rate=1e-3)
+
+    def losses_for(cached):
+        import jax
+        from vpd_tpu.core.mesh import get_mesh
+
+        mesh = get_mesh(jax.devices()[:1])
+        if cached:
+            reader = ShardReader(shard_dir, crop_root=crop_dir)
+            cache = DeviceCropCache(reader, log=lambda *a: None)
+            src = CacheIndexSource(train, crop_dir, IMG, 8,
+                                   target_len=32, seed=3, cache=cache)
+            vs = CacheIndexSource(val, crop_dir, IMG, 8, target_len=16,
+                                  augment=False, seed=4, cache=cache)
+        else:
+            src = CropBatchSource(train, crop_dir, IMG, 8, target_len=32,
+                                  seed=3, shard_dir=shard_dir)
+            vs = CropBatchSource(val, crop_dir, IMG, 8, target_len=16,
+                                 augment=False, seed=4,
+                                 shard_dir=shard_dir)
+        tr = VPDTrainer(src, vs, cfg, mesh=mesh, dtype=jnp.float32,
+                        seed=0)
+        out = []
+        for epoch in (1, 2):
+            out.append(tr.train_one_epoch(epoch))
+        return out
+
+    streamed = losses_for(False)
+    cached = losses_for(True)
+    for (st, sv), (ct, cv) in zip(streamed, cached):
+        np.testing.assert_allclose(ct, st, rtol=1e-5)
+        np.testing.assert_allclose(cv, sv, rtol=1e-5)
+
+
+def test_cache_index_source_rejects_unpacked(tmp_path):
+    from vpd_tpu.data.hbm_cache import CacheIndexSource, DeviceCropCache
+
+    samples, _, crop_dir = setup_dataset(tmp_path)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, log=lambda *a: None)
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    cache = DeviceCropCache(reader, log=lambda *a: None)
+    bad = samples + [('ghost_video', None, 0, samples[0][3])]
+    with pytest.raises(AssertionError):
+        CacheIndexSource(bad, crop_dir, IMG, 8, cache=cache)

@@ -59,6 +59,10 @@ def get_args():
                              'reference does (vpd_dataset/common.py:'
                              '83-108); default is deterministic val '
                              '(QUIRKS.md)')
+    parser.add_argument('--hbm_cache', action='store_true',
+                        help='stage the packed crop shards in device '
+                             'HBM once and gather batches on device '
+                             '(requires --crop_shards; single chip)')
     return parser.parse_args()
 
 
@@ -80,7 +84,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          learning_rate, img_dim, flow_img, motion, encoder_arch,
          model_select_window, pretrained, no_test_video, min_pose_score,
          emb_dir, seed, num_workers=0, init_weights=None,
-         crop_shards=None, augment_val=False):
+         crop_shards=None, augment_val=False, hbm_cache=False):
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
     exclude = get_exclude_prefixes(dataset) if no_test_video else None
@@ -92,7 +96,24 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
 
     crop_dir = CROP_DIRS[dataset]
     src_kwargs = {'flow_img_name': flow_img, 'shard_dir': crop_shards}
-    if num_workers > 0:
+    if hbm_cache:
+        # Stage the packed shards in device HBM once; batches become
+        # index gathers on device (data/hbm_cache.py). Decode workers
+        # and prefetch upload are irrelevant in this mode.
+        assert crop_shards, '--hbm_cache requires --crop_shards'
+        assert num_workers == 0, '--hbm_cache needs no decode workers'
+        from ..data.shards import ShardReader
+        from ..data.hbm_cache import CacheIndexSource, DeviceCropCache
+
+        reader = ShardReader(crop_shards, crop_root=crop_dir)
+        cache = DeviceCropCache(reader, use_flow=flow_img is not None)
+        train_src = CacheIndexSource(
+            train, crop_dir, img_dim, batch_size, target_len=20000,
+            seed=seed, cache=cache, **src_kwargs)
+        val_src = CacheIndexSource(
+            val, crop_dir, img_dim, batch_size, target_len=4000,
+            augment=augment_val, seed=seed + 1, cache=cache, **src_kwargs)
+    elif num_workers > 0:
         from ..data.parallel_batcher import MultiprocessBatcher
 
         def make_train(wid):
@@ -130,10 +151,11 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
     # upload overlap matters most on single-chip relay links anyway.
     from ..core.mesh import get_mesh, shard_batch
     mesh = get_mesh()
-    to_device = ((lambda b: shard_batch(b, mesh)) if mesh.size == 1
-                 else None)
-    train_src = PrefetchedSource(train_src, transform=to_device)
-    val_src = PrefetchedSource(val_src, transform=to_device)
+    if not hbm_cache:  # index batches are ~KB; prefetch buys nothing
+        to_device = ((lambda b: shard_batch(b, mesh)) if mesh.size == 1
+                     else None)
+        train_src = PrefetchedSource(train_src, transform=to_device)
+        val_src = PrefetchedSource(val_src, transform=to_device)
 
     config = default_config(
         dataset, emb_dim, num_epochs=num_epochs, batch_size=batch_size,

@@ -64,6 +64,38 @@ def create_state(model, sample_img, learning_rate, seed=0,
         opt_state=tx.init(variables['params']), tx=tx)
 
 
+def _fused_step_body(model, mean, std, img_dim, use_flow, use_mask,
+                     aug_dtype, state, rgb, flow, mask, emb, flip, rng):
+    """Augment -> fwd/bwd -> AdamW on explicit pixel/target operands
+    (shared by the host-streamed and HBM-cache-gathered steps)."""
+    aug_rng = jax.random.fold_in(rng, state.step)
+    imgs, _ = train_augment_batch(
+        aug_rng, rgb, mean, std,
+        flow_u8=flow if use_flow else None,
+        mask_u8=mask if use_mask else None,
+        flip=flip, out_size=img_dim, dtype=aug_dtype)
+
+    def loss_fn(params):
+        out, mutated = model.apply(
+            {'params': params, 'batch_stats': state.batch_stats},
+            imgs, train=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.fold_in(aug_rng, 1)})
+        # sum-reduction MSE (reference train_vpd_model.py:87)
+        loss_sum = jnp.sum(jnp.square(out - emb))
+        return loss_sum / out.shape[0], (loss_sum, mutated)
+
+    (_, (loss_sum, mutated)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(
+        grads, state.opt_state, state.params)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=optax.apply_updates(state.params, updates),
+        batch_stats=mutated['batch_stats'], opt_state=new_opt)
+    return new_state, {'emb_loss_sum': loss_sum,
+                       'n': jnp.float32(emb.shape[0])}
+
+
 def make_train_step(model, mean, std, img_dim=128, use_flow=False,
                     use_mask=True, donate=True, aug_dtype=None):
     """One fused program: augment uint8 batch -> student fwd/bwd -> AdamW.
@@ -74,32 +106,36 @@ def make_train_step(model, mean, std, img_dim=128, use_flow=False,
     aug_dtype = aug_dtype if aug_dtype is not None else jnp.float32
 
     def step(state, batch, rng):
-        aug_rng = jax.random.fold_in(rng, state.step)
-        imgs, _ = train_augment_batch(
-            aug_rng, batch['rgb'], mean, std,
-            flow_u8=batch.get('flow') if use_flow else None,
-            mask_u8=batch.get('mask') if use_mask else None,
-            flip=batch['flip'], out_size=img_dim, dtype=aug_dtype)
+        return _fused_step_body(
+            model, mean, std, img_dim, use_flow, use_mask, aug_dtype,
+            state, batch['rgb'], batch.get('flow'), batch.get('mask'),
+            batch['emb'], batch['flip'], rng)
 
-        def loss_fn(params):
-            out, mutated = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
-                imgs, train=True, mutable=['batch_stats'],
-                rngs={'dropout': jax.random.fold_in(aug_rng, 1)})
-            # sum-reduction MSE (reference train_vpd_model.py:87)
-            loss_sum = jnp.sum(jnp.square(out - batch['emb']))
-            return loss_sum / out.shape[0], (loss_sum, mutated)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
-        (_, (loss_sum, mutated)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(
-            grads, state.opt_state, state.params)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=optax.apply_updates(state.params, updates),
-            batch_stats=mutated['batch_stats'], opt_state=new_opt)
-        return new_state, {'emb_loss_sum': loss_sum,
-                           'n': jnp.float32(out_shape_n(batch))}
+
+def make_cached_train_step(model, mean, std, img_dim=128, use_flow=False,
+                           use_mask=True, donate=True, aug_dtype=None):
+    """Train step over an HBM-resident crop cache (`data/hbm_cache.py`).
+
+    The batch carries only row indices + targets (~KB); pixels are
+    gathered from `cache` arrays already staged in device memory, so the
+    per-step host->device transfer shrinks from ~MBs of uint8 images to
+    the index vector — training throughput then tracks the compute roof
+    even on upload-constrained links. No reference counterpart (the
+    reference re-decodes PNGs on CPU workers every epoch,
+    `train_vpd_model.py:205`).
+    """
+    aug_dtype = aug_dtype if aug_dtype is not None else jnp.float32
+
+    def step(state, batch, rng, cache):
+        idx = batch['idx']
+        return _fused_step_body(
+            model, mean, std, img_dim, use_flow, use_mask, aug_dtype,
+            state, cache['rgb'][idx],
+            cache['flow'][idx] if use_flow and 'flow' in cache else None,
+            cache['mask'][idx] if use_mask and 'mask' in cache else None,
+            batch['emb'], batch['flip'], rng)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -114,6 +150,26 @@ def make_eval_step(model, mean, std, use_flow=False):
         imgs = eval_transform_batch(
             batch['rgb'], mean, std,
             flow_u8=batch.get('flow') if use_flow else None)
+        out = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            imgs, train=False)
+        loss_sum = jnp.sum(jnp.square(out - batch['emb']))
+        return {'emb_loss_sum': loss_sum,
+                'n': jnp.float32(out.shape[0])}
+
+    return step
+
+
+def make_cached_eval_step(model, mean, std, use_flow=False):
+    """Deterministic eval over the HBM crop cache (index batches)."""
+
+    @jax.jit
+    def step(state, batch, cache):
+        idx = batch['idx']
+        imgs = eval_transform_batch(
+            cache['rgb'][idx], mean, std,
+            flow_u8=(cache['flow'][idx]
+                     if use_flow and 'flow' in cache else None))
         out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             imgs, train=False)

@@ -15,6 +15,7 @@ from ..core.mesh import get_mesh, shard_batch, step_sync_needed
 from ..data.augment import RGB_MEAN_STD
 from ..models import build_encoder
 from .vpd import (MotionHead, VPDStudent, create_state, make_aug_eval_step,
+                  make_cached_eval_step, make_cached_train_step,
                   make_eval_step, make_train_step)
 
 
@@ -55,11 +56,28 @@ class VPDTrainer:
         mean, std = config['rgb_mean_std']
         import jax.numpy as jnp
         model_dtype = dtype if dtype is not None else jnp.bfloat16
+        # HBM crop cache: sources built from data/hbm_cache carry the
+        # device-resident pixel arrays; steps then gather rows on device
+        # and batches ship only indices + targets.
+        cache = getattr(train_source, 'device_cache', None)
+        self.cache = cache.arrays if cache is not None else None
+        if self.cache is not None:
+            assert self.mesh.size == 1, \
+                'the HBM crop cache supports single-device meshes (the ' \
+                'multi-chip extension shards cache rows per device)'
+            assert not self.config.get('augment_val'), \
+                'augment_val with the HBM cache is not implemented'
+            if val_source is not None:
+                assert getattr(val_source, 'device_cache', None) \
+                    is cache, \
+                    'train and val sources must share one DeviceCropCache'
         # bf16 students augment in bf16 too: the cast merely moves ahead
         # of the encoder, halves the augment block's HBM traffic, and
         # runs the resample matmuls at MXU bf16 rate (+5% step
         # throughput, PERF.md round 3). f32 students keep f32 end-to-end.
-        self.train_step = make_train_step(
+        make_train = (make_cached_train_step if self.cache is not None
+                      else make_train_step)
+        self.train_step = make_train(
             self.model, mean, std, img_dim=img_dim,
             use_flow=config['use_flow'], aug_dtype=model_dtype)
         if self.config.get('augment_val'):
@@ -70,7 +88,9 @@ class VPDTrainer:
                 self.model, mean, std, img_dim=img_dim,
                 use_flow=config['use_flow'])
         else:
-            self.eval_step = make_eval_step(
+            make_eval = (make_cached_eval_step if self.cache is not None
+                         else make_eval_step)
+            self.eval_step = make_eval(
                 self.model, mean, std, use_flow=config['use_flow'])
             self.aug_eval_step = None
         self.rng = jax.random.key(seed + 1)
@@ -146,11 +166,18 @@ class VPDTrainer:
         for _ in range(source.num_batches):
             batch = shard_batch(source.next_batch(), self.mesh)
             if train:
-                self.state, m = self.train_step(self.state, batch, self.rng)
+                if self.cache is not None:
+                    self.state, m = self.train_step(
+                        self.state, batch, self.rng, self.cache)
+                else:
+                    self.state, m = self.train_step(
+                        self.state, batch, self.rng)
             elif self.aug_eval_step is not None:
                 m = self.aug_eval_step(self.state, batch, self.val_rng,
                                        np.int32(self._val_steps))
                 self._val_steps += 1
+            elif self.cache is not None:
+                m = self.eval_step(self.state, batch, self.cache)
             else:
                 m = self.eval_step(self.state, batch)
             if sync:
