@@ -214,3 +214,38 @@ def test_cache_index_source_rejects_unpacked(tmp_path):
     bad = samples + [('ghost_video', None, 0, samples[0][3])]
     with pytest.raises(AssertionError):
         CacheIndexSource(bad, crop_dir, IMG, 8, cache=cache)
+
+
+def test_hbm_cache_multidevice_matches_single(tmp_path):
+    """Replicated HBM cache on the 8-device data mesh trains identically
+    to the single-device cache (per-chip local gathers, global BN)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpd_tpu.core.mesh import get_mesh
+    from vpd_tpu.data.hbm_cache import CacheIndexSource, DeviceCropCache
+    from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path, mask=True)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, log=lambda *a: None)
+    train, _ = train_val_split(samples)
+    cfg = default_config('tennis', emb_dim, num_epochs=1, batch_size=8,
+                         img_dim=IMG, encoder_arch='resnet18',
+                         learning_rate=1e-3)
+
+    def run(n_dev):
+        mesh = get_mesh(jax.devices()[:n_dev])
+        reader = ShardReader(shard_dir, crop_root=crop_dir)
+        cache = DeviceCropCache(reader, mesh=mesh, log=lambda *a: None)
+        src = CacheIndexSource(train, crop_dir, IMG, 8, target_len=24,
+                               seed=3, cache=cache)
+        tr = VPDTrainer(src, None, cfg, mesh=mesh, dtype=jnp.float32,
+                        seed=0)
+        return tr.train_one_epoch(1)[0]
+
+    single = run(1)
+    multi = run(len(jax.devices()))
+    # different shardings pick different conv tilings / reduction orders
+    # (same budget as the sharded-extraction equality test)
+    np.testing.assert_allclose(multi, single, rtol=1e-4)

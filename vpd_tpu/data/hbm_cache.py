@@ -22,9 +22,17 @@ from .crops import CropBatchSource
 
 class DeviceCropCache:
     """Upload a ShardReader's streams to device; `.arrays` is the dict
-    the cached train/eval steps index into."""
+    the cached train/eval steps index into.
 
-    def __init__(self, reader, use_flow=False, use_mask=True, log=print):
+    `mesh`: on a multi-device mesh the cache is REPLICATED on every
+    device (each chip gathers its own data-sharded index sub-batch
+    locally, no collectives) — valid whenever the packed corpus fits one
+    chip's HBM. Row-sharding the cache for corpora beyond per-chip HBM
+    is the remaining extension.
+    """
+
+    def __init__(self, reader, use_flow=False, use_mask=True, mesh=None,
+                 log=print):
         import jax
         import jax.numpy as jnp
 
@@ -38,14 +46,26 @@ class DeviceCropCache:
 
         total = sum(sum(s.nbytes for s in shards)
                     for shards in streams.values())
-        log('DeviceCropCache: staging {:.2f} GB ({} rows) in HBM'.format(
-            total / 2**30, len(reader)))
+        replicas = 1 if mesh is None else mesh.size
+        log('DeviceCropCache: staging {:.2f} GB ({} rows) in HBM'
+            '{}'.format(total / 2**30, len(reader),
+                        ' x{} replicas'.format(replicas)
+                        if replicas > 1 else ''))
         self.nbytes = total
+        self.mesh = mesh
+
+        def put(arr):
+            if mesh is not None and mesh.size > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+                return jax.device_put(
+                    arr, NamedSharding(mesh, PartitionSpec()))
+            return jax.device_put(arr)
+
         # per-shard device_put bounds host peak memory; the concatenate
         # runs on device
         self.arrays = {
-            name: jnp.concatenate([jax.device_put(np.asarray(s))
-                                   for s in shards], axis=0)
+            name: jnp.concatenate([put(np.asarray(s)) for s in shards],
+                                  axis=0)
             for name, shards in streams.items()}
 
 

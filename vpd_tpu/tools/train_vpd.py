@@ -102,11 +102,13 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
         # and prefetch upload are irrelevant in this mode.
         assert crop_shards, '--hbm_cache requires --crop_shards'
         assert num_workers == 0, '--hbm_cache needs no decode workers'
+        from ..core.mesh import get_mesh as _gm
         from ..data.shards import ShardReader
         from ..data.hbm_cache import CacheIndexSource, DeviceCropCache
 
         reader = ShardReader(crop_shards, crop_root=crop_dir)
-        cache = DeviceCropCache(reader, use_flow=flow_img is not None)
+        cache = DeviceCropCache(reader, use_flow=flow_img is not None,
+                                mesh=_gm())
         train_src = CacheIndexSource(
             train, crop_dir, img_dim, batch_size, target_len=20000,
             seed=seed, cache=cache, **src_kwargs)

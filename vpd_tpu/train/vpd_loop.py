@@ -62,9 +62,9 @@ class VPDTrainer:
         cache = getattr(train_source, 'device_cache', None)
         self.cache = cache.arrays if cache is not None else None
         if self.cache is not None:
-            assert self.mesh.size == 1, \
-                'the HBM crop cache supports single-device meshes (the ' \
-                'multi-chip extension shards cache rows per device)'
+            assert self.mesh.size == 1 or cache.mesh == self.mesh, \
+                'multi-device training needs a DeviceCropCache built ' \
+                'with the same mesh (cache replicated per chip)'
             assert not self.config.get('augment_val'), \
                 'augment_val with the HBM cache is not implemented'
             if val_source is not None:
