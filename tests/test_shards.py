@@ -249,3 +249,84 @@ def test_hbm_cache_multidevice_matches_single(tmp_path):
     # different shardings pick different conv tilings / reduction orders
     # (same budget as the sharded-extraction equality test)
     np.testing.assert_allclose(multi, single, rtol=1e-4)
+
+
+def test_hbm_cache_row_sharded_matches_replicated(tmp_path):
+    """Row-sharded HBM cache (shard_rows=True): same block-homed batch
+    through the shard_map local gather == the replicated cache's step,
+    and the sampler homes every batch block on its device's rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpd_tpu.core.mesh import get_mesh, shard_batch
+    from vpd_tpu.data.augment import RGB_MEAN_STD
+    from vpd_tpu.data.hbm_cache import CacheIndexSource, DeviceCropCache
+    from vpd_tpu.models import build_encoder
+    from vpd_tpu.train.vpd import create_state, make_cached_train_step
+
+    crop_dir = str(tmp_path / 'crops')
+    videos = ['v{}'.format(i) for i in range(4)]
+    write_crop_tree(crop_dir, videos, 16, mask=True)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, rows_per_shard=24,
+               log=lambda *a: None)  # odd size: blocks straddle files
+
+    rng = np.random.default_rng(0)
+    samples = [(v, None, f, rng.normal(size=6).astype(np.float32))
+               for v in videos for f in range(16)]
+
+    mesh = get_mesh()
+    n = mesh.size
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    cache_r = DeviceCropCache(reader, mesh=mesh, log=lambda *a: None)
+    cache_s = DeviceCropCache(reader, mesh=mesh, shard_rows=True,
+                              log=lambda *a: None)
+    per = cache_s.rows_per_device
+    assert per * n >= len(reader)
+    for k in cache_s.arrays:  # sharded rows == replicated rows
+        np.testing.assert_array_equal(
+            np.asarray(cache_s.arrays[k])[:len(reader)],
+            np.asarray(cache_r.arrays[k]), err_msg=k)
+
+    src = CacheIndexSource(samples, crop_dir, IMG, 16, target_len=32,
+                           seed=3, cache=cache_s)
+    batch = src.next_batch()
+    homes = (batch['idx'] // per).reshape(n, -1)
+    assert all((homes[d] == d).all() for d in range(n)), homes
+
+    model = build_encoder('resnet18', emb_dim=6, dtype=jnp.float32)
+    mean, std = RGB_MEAN_STD['tennis']
+    state = create_state(model, jnp.zeros((1, IMG, IMG, 3), jnp.float32),
+                         1e-3)
+    dev_batch = shard_batch(batch, mesh)
+    key = jax.random.key(0)
+    step_r = make_cached_train_step(model, mean, std, img_dim=IMG,
+                                    donate=False)
+    step_s = make_cached_train_step(model, mean, std, img_dim=IMG,
+                                    donate=False, mesh=mesh,
+                                    rows_per_device=per)
+    _, m_r = step_r(state, dev_batch, key, cache_r.arrays)
+    _, m_s = step_s(state, dev_batch, key, cache_s.arrays)
+    # same budget as the other sharding-equality tests (conv tilings)
+    np.testing.assert_allclose(float(m_s['emb_loss_sum']),
+                               float(m_r['emb_loss_sum']), rtol=1e-4)
+
+
+def test_hbm_cache_sharded_rejects_tiny_corpus(tmp_path):
+    """Too few rows to home samples on every chip -> loud error."""
+    import jax
+
+    from vpd_tpu.core.mesh import get_mesh
+    from vpd_tpu.data.hbm_cache import CacheIndexSource, DeviceCropCache
+
+    samples, _, crop_dir = setup_dataset(tmp_path)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, log=lambda *a: None)
+    mesh = get_mesh()
+    if mesh.size < 2:
+        pytest.skip('needs a multi-device mesh')
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    cache = DeviceCropCache(reader, mesh=mesh, shard_rows=True,
+                            log=lambda *a: None)
+    with pytest.raises(AssertionError, match='too small to row-shard'):
+        CacheIndexSource(samples, crop_dir, IMG, 8, cache=cache)

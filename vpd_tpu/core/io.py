@@ -53,10 +53,12 @@ def store_json(fpath, obj):
 
 
 def store_gz_json(fpath, obj):
-    tmp = fpath + '.tmp'
-    with gzip.open(tmp, 'wt', encoding='ascii') as fp:
-        json.dump(obj, fp)
-    os.replace(tmp, fpath)
+    def write(fp):
+        # gzip over the raw fp (not the tmp path) so the gzip header
+        # never embeds the ".tmp" filename
+        with gzip.open(fp, 'wt', encoding='ascii') as gz:
+            json.dump(obj, gz)
+    _replace_into(fpath, write, 'wb')
 
 
 def load_pickle(fpath):

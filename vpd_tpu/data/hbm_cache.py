@@ -11,8 +11,20 @@ trainer construction, then each step ships only (B,) row indices plus
 the (B, D) teacher targets — a few KB — and the jitted step gathers the
 pixel rows from HBM (`train/vpd.py make_cached_train_step`). Measured
 on the relay-attached dev chip this removes the H2D bound entirely
-(PERF.md round 3). Single-device meshes only for now; the multi-chip
-extension shards cache rows per device and samples per shard.
+(PERF.md round 3).
+
+Multi-chip placement (``mesh``) comes in two layouts:
+- replicated (default): every chip holds the whole corpus and gathers
+  its data-sharded index sub-batch locally, no collectives. Valid while
+  the packed corpus fits ONE chip's HBM; training is batch-for-batch
+  identical to the streamed path.
+- row-sharded (``shard_rows=True``): cache rows are split contiguously
+  over the 'data' axis, so the mesh's POOLED HBM bounds corpus size
+  (8 chips x 16 GB holds a ~128 GB corpus). Each chip gathers only
+  rows it homes (a shard_map local gather, still no collectives); the
+  sampler draws each chip's sub-batch from that chip's resident rows,
+  which changes the sample stream (each chip samples its partition,
+  standard data-parallel loading) but not its distribution.
 """
 
 import numpy as np
@@ -20,19 +32,33 @@ import numpy as np
 from .crops import CropBatchSource
 
 
+def _rows_range(shards, lo, hi, pad_to):
+    """Rows [lo, hi) across a ShardReader's shard-file list, as one
+    contiguous array zero-padded to pad_to rows (host peak = one block)."""
+    first = shards[0]
+    out = np.zeros((pad_to,) + first.shape[1:], first.dtype)
+    pos = 0
+    base = 0
+    for s in shards:
+        s_lo, s_hi = max(lo, base), min(hi, base + len(s))
+        if s_lo < s_hi:
+            out[pos:pos + (s_hi - s_lo)] = s[s_lo - base:s_hi - base]
+            pos += s_hi - s_lo
+        base += len(s)
+    return out
+
+
 class DeviceCropCache:
     """Upload a ShardReader's streams to device; `.arrays` is the dict
     the cached train/eval steps index into.
 
-    `mesh`: on a multi-device mesh the cache is REPLICATED on every
-    device (each chip gathers its own data-sharded index sub-batch
-    locally, no collectives) — valid whenever the packed corpus fits one
-    chip's HBM. Row-sharding the cache for corpora beyond per-chip HBM
-    is the remaining extension.
+    `mesh`: multi-device placement — replicated per chip by default
+    (corpus must fit one chip's HBM), row-sharded over the 'data' axis
+    with ``shard_rows=True`` (corpus must fit the mesh's pooled HBM).
     """
 
     def __init__(self, reader, use_flow=False, use_mask=True, mesh=None,
-                 log=print):
+                 shard_rows=False, log=print):
         import jax
         import jax.numpy as jnp
 
@@ -46,13 +72,46 @@ class DeviceCropCache:
 
         total = sum(sum(s.nbytes for s in shards)
                     for shards in streams.values())
-        replicas = 1 if mesh is None else mesh.size
+        n_dev = 1 if mesh is None else mesh.size
+        self.row_sharded = bool(shard_rows) and n_dev > 1
+        replicas = 1 if self.row_sharded else n_dev
         log('DeviceCropCache: staging {:.2f} GB ({} rows) in HBM'
             '{}'.format(total / 2**30, len(reader),
-                        ' x{} replicas'.format(replicas)
-                        if replicas > 1 else ''))
+                        ' x{} replicas'.format(replicas) if replicas > 1
+                        else ' sharded over {} chips'.format(n_dev)
+                        if self.row_sharded else ''))
         self.nbytes = total
         self.mesh = mesh
+
+        if self.row_sharded:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..core.mesh import DATA_AXIS
+
+            assert mesh.axis_names == (DATA_AXIS,), \
+                'row-sharded cache needs a 1-D data mesh, got {}'.format(
+                    mesh.axis_names)
+            total_rows = len(reader)
+            per = -(-total_rows // n_dev)  # ceil; tail rows zero-pad
+            self.rows_per_device = per
+            devices = list(mesh.devices.flat)
+            sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+            def put_sharded(shards):
+                blocks = [
+                    jax.device_put(
+                        _rows_range(shards, d * per,
+                                    min((d + 1) * per, total_rows), per),
+                        devices[d])
+                    for d in range(n_dev)]
+                shape = (per * n_dev,) + blocks[0].shape[1:]
+                return jax.make_array_from_single_device_arrays(
+                    shape, sharding, blocks)
+
+            self.arrays = {name: put_sharded(shards)
+                           for name, shards in streams.items()}
+            return
+
+        self.rows_per_device = None
 
         def put(arr):
             if mesh is not None and mesh.size > 1:
@@ -71,9 +130,13 @@ class DeviceCropCache:
 
 class CacheIndexSource(CropBatchSource):
     """CropBatchSource that emits HBM-cache row indices instead of
-    pixels. Draws the SAME (sample, flip) stream as CropBatchSource with
-    the same seed (the pixel fetch is the only difference), so cached
-    training is batch-for-batch identical to the shard/PNG path.
+    pixels. Against a replicated cache it draws the SAME (sample, flip)
+    stream as CropBatchSource with the same seed (the pixel fetch is
+    the only difference), so cached training is batch-for-batch
+    identical to the shard/PNG path. Against a row-sharded cache, batch
+    block d (the slice shard_batch sends to device d) is drawn from the
+    samples homed on device d — each chip trains on its resident
+    partition, so gathers stay local.
     """
 
     def __init__(self, samples, img_dir, img_dim, batch_size, *,
@@ -89,6 +152,19 @@ class CacheIndexSource(CropBatchSource):
             'tools/pack_crops before using the HBM cache'.format(
                 missing, len(samples))
         self._rows = rows.astype(np.int32)
+        self._by_device = None
+        if cache.row_sharded:
+            n = cache.mesh.size
+            assert batch_size % n == 0, (batch_size, n)
+            homes = self._rows // cache.rows_per_device
+            self._by_device = [np.nonzero(homes == d)[0]
+                               for d in range(n)]
+            empty = [d for d, g in enumerate(self._by_device)
+                     if len(g) == 0]
+            assert not empty, \
+                'no samples homed on device(s) {} — corpus too small ' \
+                'to row-shard over {} chips; use the replicated cache' \
+                .format(empty, n)
 
     def next_batch(self):
         b = self.batch_size
@@ -96,7 +172,13 @@ class CacheIndexSource(CropBatchSource):
         embs = []
         flips = np.zeros(b, np.uint8)
         for i in range(b):
-            s = self.rng.integers(len(self.samples))
+            if self._by_device is None:
+                # draw order matches CropBatchSource.next_batch exactly
+                # (sample, flip interleaved) — equality contract
+                s = int(self.rng.integers(len(self.samples)))
+            else:  # block d of the batch lands on device d (shard_batch)
+                g = self._by_device[i // (b // len(self._by_device))]
+                s = int(g[self.rng.integers(len(g))])
             emb = self.samples[s][3]
             flip = bool(self.augment and self.rng.integers(2))
             if emb.ndim == 2:

@@ -62,7 +62,13 @@ def get_args():
     parser.add_argument('--hbm_cache', action='store_true',
                         help='stage the packed crop shards in device '
                              'HBM once and gather batches on device '
-                             '(requires --crop_shards; single chip)')
+                             '(requires --crop_shards); replicated per '
+                             'chip on multi-device meshes')
+    parser.add_argument('--hbm_cache_sharded', action='store_true',
+                        help='row-shard the HBM cache over the data '
+                             'mesh instead of replicating it (for '
+                             'corpora beyond one chip\'s HBM; each chip '
+                             'trains on its resident rows)')
     return parser.parse_args()
 
 
@@ -84,7 +90,8 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          learning_rate, img_dim, flow_img, motion, encoder_arch,
          model_select_window, pretrained, no_test_video, min_pose_score,
          emb_dir, seed, num_workers=0, init_weights=None,
-         crop_shards=None, augment_val=False, hbm_cache=False):
+         crop_shards=None, augment_val=False, hbm_cache=False,
+         hbm_cache_sharded=False):
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
     exclude = get_exclude_prefixes(dataset) if no_test_video else None
@@ -96,6 +103,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
 
     crop_dir = CROP_DIRS[dataset]
     src_kwargs = {'flow_img_name': flow_img, 'shard_dir': crop_shards}
+    hbm_cache = hbm_cache or hbm_cache_sharded
     if hbm_cache:
         # Stage the packed shards in device HBM once; batches become
         # index gathers on device (data/hbm_cache.py). Decode workers
@@ -108,7 +116,8 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
 
         reader = ShardReader(crop_shards, crop_root=crop_dir)
         cache = DeviceCropCache(reader, use_flow=flow_img is not None,
-                                mesh=_gm())
+                                mesh=_gm(),
+                                shard_rows=hbm_cache_sharded)
         train_src = CacheIndexSource(
             train, crop_dir, img_dim, batch_size, target_len=20000,
             seed=seed, cache=cache, **src_kwargs)

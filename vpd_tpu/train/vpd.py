@@ -114,8 +114,40 @@ def make_train_step(model, mean, std, img_dim=128, use_flow=False,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _cache_gather(cache, idx, mesh, rows_per_device):
+    """Gather pixel rows from the HBM cache by global row index.
+
+    Replicated cache (mesh/rows_per_device None): a plain local gather —
+    each device indexes its own full copy with its index sub-batch.
+    Row-sharded cache: a shard_map local gather — device d holds cache
+    rows [d*per, (d+1)*per) and its index block references only those
+    (CacheIndexSource homes each batch block), so the gather is
+    `rows[idx - d*per]` per device, no collectives on the pixel bytes.
+    """
+    if rows_per_device is None:
+        return {k: v[idx] for k, v in cache.items()}
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.mesh import DATA_AXIS
+
+    names = sorted(cache)
+
+    def body(idx_l, *streams):
+        local = idx_l - jax.lax.axis_index(DATA_AXIS) * rows_per_device
+        return tuple(s[local] for s in streams)
+
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DATA_AXIS),) * (1 + len(names)),
+        out_specs=(P(DATA_AXIS),) * len(names))(
+            idx, *[cache[k] for k in names])
+    return dict(zip(names, out))
+
+
 def make_cached_train_step(model, mean, std, img_dim=128, use_flow=False,
-                           use_mask=True, donate=True, aug_dtype=None):
+                           use_mask=True, donate=True, aug_dtype=None,
+                           mesh=None, rows_per_device=None):
     """Train step over an HBM-resident crop cache (`data/hbm_cache.py`).
 
     The batch carries only row indices + targets (~KB); pixels are
@@ -124,24 +156,22 @@ def make_cached_train_step(model, mean, std, img_dim=128, use_flow=False,
     the index vector — training throughput then tracks the compute roof
     even on upload-constrained links. No reference counterpart (the
     reference re-decodes PNGs on CPU workers every epoch,
-    `train_vpd_model.py:205`).
+    `train_vpd_model.py:205`). `mesh`/`rows_per_device` select the
+    row-sharded gather (see `_cache_gather`).
     """
     aug_dtype = aug_dtype if aug_dtype is not None else jnp.float32
 
     def step(state, batch, rng, cache):
-        idx = batch['idx']
+        used = {k: v for k, v in cache.items()
+                if k == 'rgb' or (k == 'flow' and use_flow)
+                or (k == 'mask' and use_mask)}
+        g = _cache_gather(used, batch['idx'], mesh, rows_per_device)
         return _fused_step_body(
             model, mean, std, img_dim, use_flow, use_mask, aug_dtype,
-            state, cache['rgb'][idx],
-            cache['flow'][idx] if use_flow and 'flow' in cache else None,
-            cache['mask'][idx] if use_mask and 'mask' in cache else None,
+            state, g['rgb'], g.get('flow'), g.get('mask'),
             batch['emb'], batch['flip'], rng)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
-
-
-def out_shape_n(batch):
-    return batch['emb'].shape[0]
 
 
 def make_eval_step(model, mean, std, use_flow=False):
@@ -160,16 +190,17 @@ def make_eval_step(model, mean, std, use_flow=False):
     return step
 
 
-def make_cached_eval_step(model, mean, std, use_flow=False):
+def make_cached_eval_step(model, mean, std, use_flow=False, mesh=None,
+                          rows_per_device=None):
     """Deterministic eval over the HBM crop cache (index batches)."""
 
     @jax.jit
     def step(state, batch, cache):
-        idx = batch['idx']
-        imgs = eval_transform_batch(
-            cache['rgb'][idx], mean, std,
-            flow_u8=(cache['flow'][idx]
-                     if use_flow and 'flow' in cache else None))
+        used = {k: v for k, v in cache.items()
+                if k == 'rgb' or (k == 'flow' and use_flow)}
+        g = _cache_gather(used, batch['idx'], mesh, rows_per_device)
+        imgs = eval_transform_batch(g['rgb'], mean, std,
+                                    flow_u8=g.get('flow'))
         out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             imgs, train=False)

@@ -61,6 +61,7 @@ class VPDTrainer:
         # and batches ship only indices + targets.
         cache = getattr(train_source, 'device_cache', None)
         self.cache = cache.arrays if cache is not None else None
+        cache_kw = {}
         if self.cache is not None:
             assert self.mesh.size == 1 or cache.mesh == self.mesh, \
                 'multi-device training needs a DeviceCropCache built ' \
@@ -71,6 +72,9 @@ class VPDTrainer:
                 assert getattr(val_source, 'device_cache', None) \
                     is cache, \
                     'train and val sources must share one DeviceCropCache'
+            if cache.row_sharded:  # shard_map local gather
+                cache_kw = {'mesh': cache.mesh,
+                            'rows_per_device': cache.rows_per_device}
         # bf16 students augment in bf16 too: the cast merely moves ahead
         # of the encoder, halves the augment block's HBM traffic, and
         # runs the resample matmuls at MXU bf16 rate (+5% step
@@ -79,7 +83,8 @@ class VPDTrainer:
                       else make_train_step)
         self.train_step = make_train(
             self.model, mean, std, img_dim=img_dim,
-            use_flow=config['use_flow'], aug_dtype=model_dtype)
+            use_flow=config['use_flow'], aug_dtype=model_dtype,
+            **cache_kw)
         if self.config.get('augment_val'):
             # Reference parity: val batches are augmented too
             # (single_frame.py:354); see QUIRKS.md "Deviations".
@@ -88,10 +93,13 @@ class VPDTrainer:
                 self.model, mean, std, img_dim=img_dim,
                 use_flow=config['use_flow'])
         else:
-            make_eval = (make_cached_eval_step if self.cache is not None
-                         else make_eval_step)
-            self.eval_step = make_eval(
-                self.model, mean, std, use_flow=config['use_flow'])
+            if self.cache is not None:
+                self.eval_step = make_cached_eval_step(
+                    self.model, mean, std, use_flow=config['use_flow'],
+                    **cache_kw)
+            else:
+                self.eval_step = make_eval_step(
+                    self.model, mean, std, use_flow=config['use_flow'])
             self.aug_eval_step = None
         self.rng = jax.random.key(seed + 1)
         self.val_rng = jax.random.key(seed + 2)
