@@ -706,3 +706,257 @@ def test_rgb_surgery_oracle():
     for w, g in zip(want, got):
         cos = float(np.dot(w, g) / (np.linalg.norm(w) * np.linalg.norm(g)))
         assert cos > 1 - 1e-3, cos
+
+
+# ---------------------------------------------------------------------------
+# Sequence classifier heads (util/classifier.py:29-134,
+# util/torch/batchnorm1d.py:29-93)
+# ---------------------------------------------------------------------------
+
+def _pad_batch(rng, b, t, d):
+    """Zero-padded (B, T, D) batch with random valid lengths, max hit."""
+    lengths = rng.integers(2, t + 1, size=b)
+    lengths[rng.integers(b)] = t
+    x = np.zeros((b, t, d), np.float32)
+    for i, n in enumerate(lengths):
+        x[i, :n] = rng.standard_normal((n, d))
+    return x, lengths
+
+
+def test_masked_batchnorm_oracle():
+    """Train steps, running stats, n<=1 fallback and eval vs the gist BN."""
+    from util.torch.batchnorm1d import MaskedBatchNorm1d
+    import jax.numpy as jnp
+    from vpd_tpu.models.gru import MaskedBatchNorm
+
+    rng = np.random.default_rng(0)
+    d, t = 5, 7
+    ref = MaskedBatchNorm1d(d)
+    with torch.no_grad():
+        ref.weight.copy_(torch.from_numpy(
+            rng.standard_normal(d).astype(np.float32)))
+        ref.bias.copy_(torch.from_numpy(
+            rng.standard_normal(d).astype(np.float32)))
+    model = MaskedBatchNorm()
+    variables = {
+        'params': {'scale': jnp.asarray(ref.weight.detach().numpy()),
+                   'bias': jnp.asarray(ref.bias.detach().numpy())},
+        'batch_stats': {'mean': jnp.zeros(d), 'var': jnp.ones(d)},
+    }
+
+    def step(x, lengths, train):
+        nonlocal variables
+        ref.train(train)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x).permute(0, 2, 1),
+                       torch.from_numpy(lengths)).permute(0, 2, 1).numpy()
+        if train:
+            got, mut = model.apply(
+                variables, jnp.asarray(x), jnp.asarray(lengths),
+                train=True, mutable=['batch_stats'])
+            variables = {'params': variables['params'],
+                         'batch_stats': mut['batch_stats']}
+        else:
+            got = model.apply(variables, jnp.asarray(x),
+                              jnp.asarray(lengths), train=False)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-5)
+
+    for _ in range(3):
+        x, lengths = _pad_batch(rng, 4, t, d)
+        step(x, lengths, train=True)
+
+    # running stats must agree (unbiased-variance update, momentum flip)
+    np.testing.assert_allclose(
+        np.asarray(variables['batch_stats']['mean']),
+        ref.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(variables['batch_stats']['var']),
+        ref.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+    # n == 1 in train mode: normalize with running stats, no update
+    x = np.zeros((1, t, d), np.float32)
+    x[0, 0] = rng.standard_normal(d)
+    step(x, np.array([1]), train=True)
+    np.testing.assert_allclose(
+        np.asarray(variables['batch_stats']['var']),
+        ref.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+    x, lengths = _pad_batch(rng, 4, t, d)
+    step(x, lengths, train=False)
+
+
+def _randomize_bn_stats(ref_model, rng):
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.standard_normal(m.running_mean.shape[0])
+                    .astype(np.float32) * 0.1))
+                m.running_var.copy_(torch.from_numpy(
+                    (rng.random(m.running_var.shape[0]) + 0.5)
+                    .astype(np.float32)))
+
+
+def _transplant_seq(ref_model, cell_type, depth, hidden_dim,
+                    use_attention, input_batchnorm):
+    """torch Seq state_dict -> flax SeqClassifier variables."""
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    h = hidden_dim
+    cell_name = 'GRUCell' if cell_type == 'gru' else 'OptimizedLSTMCell'
+    birnn = {}
+    for layer in range(depth):
+        for di, suffix in enumerate(['', '_reverse']):
+            w_ih = sd['backbone.weight_ih_l%d%s' % (layer, suffix)]
+            w_hh = sd['backbone.weight_hh_l%d%s' % (layer, suffix)]
+            b_ih = sd['backbone.bias_ih_l%d%s' % (layer, suffix)]
+            b_hh = sd['backbone.bias_hh_l%d%s' % (layer, suffix)]
+            if cell_type == 'gru':
+                # torch gate order r, z, n; b_hr/b_hz fold into the i-side
+                # biases, b_hn stays on hn (it sits inside the r* product)
+                cell = {
+                    'ir': {'kernel': w_ih[:h].T, 'bias': b_ih[:h] + b_hh[:h]},
+                    'iz': {'kernel': w_ih[h:2 * h].T,
+                           'bias': b_ih[h:2 * h] + b_hh[h:2 * h]},
+                    'in': {'kernel': w_ih[2 * h:].T, 'bias': b_ih[2 * h:]},
+                    'hr': {'kernel': w_hh[:h].T},
+                    'hz': {'kernel': w_hh[h:2 * h].T},
+                    'hn': {'kernel': w_hh[2 * h:].T, 'bias': b_hh[2 * h:]},
+                }
+            else:
+                # torch gate order i, f, g, o; flax biases live on the h side
+                cell = {}
+                for gi, g in enumerate(['i', 'f', 'g', 'o']):
+                    sl = slice(gi * h, (gi + 1) * h)
+                    cell['i' + g] = {'kernel': w_ih[sl].T}
+                    cell['h' + g] = {'kernel': w_hh[sl].T,
+                                     'bias': b_ih[sl] + b_hh[sl]}
+            birnn['%s_%d' % (cell_name, 2 * layer + di)] = cell
+
+    params = {'BiRNN_0': birnn}
+    stats = {}
+    di = 0
+    if use_attention:
+        params['Dense_%d' % di] = {'kernel': sd['fc_attn.0.weight'].T,
+                                   'bias': sd['fc_attn.0.bias']}
+        di += 1
+    if input_batchnorm:
+        params['MaskedBatchNorm_0'] = {'scale': sd['bn_in.weight'],
+                                       'bias': sd['bn_in.bias']}
+        stats['MaskedBatchNorm_0'] = {'mean': sd['bn_in.running_mean'],
+                                      'var': sd['bn_in.running_var']}
+    for bi, (bn_key, lin_key) in enumerate([('fc_out.0', 'fc_out.2'),
+                                            ('fc_out.4', 'fc_out.6')]):
+        params['TorchBatchNorm_%d' % bi] = {
+            'scale': sd[bn_key + '.weight'], 'bias': sd[bn_key + '.bias']}
+        stats['TorchBatchNorm_%d' % bi] = {
+            'mean': sd[bn_key + '.running_mean'],
+            'var': sd[bn_key + '.running_var']}
+        params['Dense_%d' % di] = {'kernel': sd[lin_key + '.weight'].T,
+                                   'bias': sd[lin_key + '.bias']}
+        di += 1
+    import jax
+    # copy=True: state_dict() arrays are views of live torch buffers that
+    # the reference's train-mode forward mutates in place
+    return jax.tree_util.tree_map(lambda a: np.array(a, copy=True),
+                                  {'params': params, 'batch_stats': stats})
+
+
+@pytest.mark.parametrize('cell_type,use_attention,input_batchnorm', [
+    ('gru', True, True),
+    ('gru', False, False),
+    ('lstm', True, False),
+    ('lstm', False, True),
+])
+def test_seq_classifier_oracle(cell_type, use_attention, input_batchnorm):
+    """Eval AND train forward vs the reference Seq head, weights moved over.
+
+    Train-mode dropout is zeroed on both sides so the comparison
+    exercises the batch-stats paths (masked input BN + head BNs).
+    """
+    from util.classifier import _ABCSeqModel
+    import jax.numpy as jnp
+    from vpd_tpu.models.gru import SeqClassifier
+
+    rng = np.random.default_rng(7)
+    d, hdim, t, b, classes, depth = 6, 4, 9, 5, 3, 2
+    torch.manual_seed(3)
+    ref = _ABCSeqModel.Seq(cell_type, d, hdim, classes, depth=depth,
+                           dropout=0.0, input_dropout=0.0,
+                           input_batchnorm=input_batchnorm,
+                           use_attention=use_attention)
+    _randomize_bn_stats(ref, rng)
+    model = SeqClassifier(cell_type, hidden_dim=hdim, num_classes=classes,
+                          depth=depth, dropout=0.0, input_dropout=0.0,
+                          input_batchnorm=input_batchnorm,
+                          use_attention=use_attention)
+    variables = _transplant_seq(ref, cell_type, depth, hdim,
+                                use_attention, input_batchnorm)
+
+    x, lengths = _pad_batch(rng, b, t, d)
+    tx, tl = torch.from_numpy(x), torch.from_numpy(lengths)
+
+    ref.eval()
+    with torch.no_grad():
+        want = ref(tx, tl).numpy()
+    got = model.apply(variables, jnp.asarray(x), jnp.asarray(lengths),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    ref.train()
+    with torch.no_grad():
+        want = ref(tx, tl).numpy()
+    got, mut = model.apply(variables, jnp.asarray(x), jnp.asarray(lengths),
+                           train=True, mutable=['batch_stats'],
+                           rngs={'dropout': __import__('jax').random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    # head BN running stats advanced identically (unbiased variance)
+    for bi, key in enumerate(['fc_out.0', 'fc_out.4']):
+        mod = dict(ref.named_modules())[key]
+        np.testing.assert_allclose(
+            np.asarray(mut['batch_stats']['TorchBatchNorm_%d' % bi]['var']),
+            mod.running_var.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('depth', [1, 2])
+def test_cnn_classifier_oracle(depth):
+    """Eval forward vs the reference text-CNN head (classifier.py:103-134)."""
+    from util.classifier import _ABCSeqModel
+    import jax.numpy as jnp
+    from vpd_tpu.models.gru import CNNClassifier
+
+    rng = np.random.default_rng(11)
+    d, hdim, t, b, classes = 6, 4, 16, 3, 5
+    ks = [3, 5, 7]
+    torch.manual_seed(5)
+    ref = _ABCSeqModel.CNN(d, hdim, classes, kernel_sizes=ks, depth=depth,
+                           dropout=0.0, input_dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    params = {}
+    ci = 0
+    for i in range(len(ks)):
+        params['Conv_%d' % ci] = {
+            'kernel': sd['convs.%d.weight' % i].transpose(2, 1, 0),
+            'bias': sd['convs.%d.bias' % i]}
+        ci += 1
+        if depth > 1:
+            params['Conv_%d' % ci] = {
+                'kernel': sd['convs2.%d.weight' % i].transpose(2, 1, 0),
+                'bias': sd['convs2.%d.bias' % i]}
+            ci += 1
+    params['Dense_0'] = {'kernel': sd['fc.1.weight'].T,
+                         'bias': sd['fc.1.bias']}
+    params['Dense_1'] = {'kernel': sd['fc.4.weight'].T,
+                         'bias': sd['fc.4.bias']}
+
+    model = CNNClassifier(hidden_dim=hdim, num_classes=classes,
+                          kernel_sizes=tuple(ks), depth=depth,
+                          dropout=0.0, input_dropout=0.0)
+    x, lengths = _pad_batch(rng, b, t, d)
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), None).numpy()
+    got = model.apply({'params': params}, jnp.asarray(x),
+                      jnp.asarray(lengths), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)

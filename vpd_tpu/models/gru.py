@@ -45,16 +45,64 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             mask = length_mask(lengths, x.shape[1])[..., None]
-            n = jnp.maximum(jnp.sum(mask), 1)
-            mean = jnp.sum(x * mask, axis=(0, 1)) / n
-            var = jnp.sum(jnp.square(x - mean) * mask, axis=(0, 1)) / n
-            ra_mean.value = (self.momentum * ra_mean.value
-                             + (1 - self.momentum) * mean)
-            ra_var.value = (self.momentum * ra_var.value
-                            + (1 - self.momentum) * var)
+            n = jnp.sum(mask)
+            nc = jnp.maximum(n, 1)
+            bmean = jnp.sum(x * mask, axis=(0, 1)) / nc
+            bvar = jnp.sum(jnp.square(x - bmean) * mask, axis=(0, 1)) / nc
+            # batchnorm1d.py:73-87 semantics: batch stats apply (and the
+            # running stats update) only when n > 1; normalization uses the
+            # biased variance while running stats take the UNBIASED one.
+            use_batch = n > 1
+            old_mean, old_var = ra_mean.value, ra_var.value
+            unbiased = bvar * (n / jnp.maximum(n - 1, 1))
+            ra_mean.value = jnp.where(
+                use_batch,
+                self.momentum * old_mean + (1 - self.momentum) * bmean,
+                old_mean)
+            ra_var.value = jnp.where(
+                use_batch,
+                self.momentum * old_var + (1 - self.momentum) * unbiased,
+                old_var)
+            mean = jnp.where(use_batch, bmean, old_mean)
+            var = jnp.where(use_batch, bvar, old_var)
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over (B, D) with torch running-stat semantics.
+
+    flax's `nn.BatchNorm` stores the *biased* batch variance in its running
+    stats; `torch.nn.BatchNorm1d` — what the reference head uses
+    (`util/classifier.py:61-65`) — stores the unbiased one (factor
+    n/(n-1)). Eval-mode numerics of trained heads depend on it at the
+    small batch sizes few-shot sweeps run with.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(d))
+        ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones(d))
+        scale = self.param('scale', nn.initializers.ones, (d,))
+        bias = self.param('bias', nn.initializers.zeros, (d,))
+        if train:
+            n = x.shape[0]
+            mean = jnp.mean(x, axis=0)
+            var = jnp.mean(jnp.square(x - mean), axis=0)
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * var
+                            * (n / max(n - 1, 1)))
+        else:
+            mean, var = ra_mean.value, ra_var.value
         y = (x - mean) / jnp.sqrt(var + self.epsilon)
         return y * scale + bias
 
@@ -134,14 +182,11 @@ class SeqClassifier(nn.Module):
             neg_inf = jnp.full_like(outputs, -jnp.inf)
             pooled = jnp.max(jnp.where(mask, outputs, neg_inf), axis=1)
 
-        for _ in range(1):
-            pooled = nn.BatchNorm(use_running_average=not train,
-                                  momentum=0.9, epsilon=1e-5)(pooled)
-            pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
-            pooled = nn.Dense(hidden2)(pooled)
-            pooled = nn.relu(pooled)
-        pooled = nn.BatchNorm(use_running_average=not train,
-                              momentum=0.9, epsilon=1e-5)(pooled)
+        pooled = TorchBatchNorm()(pooled, train=train)
+        pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
+        pooled = nn.Dense(hidden2)(pooled)
+        pooled = nn.relu(pooled)
+        pooled = TorchBatchNorm()(pooled, train=train)
         pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
         return nn.Dense(self.num_classes)(pooled)
 
