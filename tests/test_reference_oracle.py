@@ -960,3 +960,338 @@ def test_cnn_classifier_oracle(depth):
     got = model.apply({'params': params}, jnp.asarray(x),
                       jnp.asarray(lengths), train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Canonical orientation + flips (vipe_dataset/util.py:57-85)
+# ---------------------------------------------------------------------------
+
+def test_canonical_orientation_oracle():
+    from vipe_dataset.util import (get_canonical_orientation as ref_fn,
+                                   flip_skeleton_offsets as ref_flip)
+    from vpd_tpu.geometry.orientation import get_canonical_orientation
+    from vpd_tpu.geometry.human36m import SPEC
+
+    rng = np.random.default_rng(21)
+    hits = set()
+    for i in range(400):
+        X = rng.standard_normal((6, 3))
+        # scale z to sweep the pitch through all 5 interp branches
+        X[:, 2] *= rng.choice([0.05, 0.3, 1.0, 3.0, 20.0])
+        fwd = rng.standard_normal(3)
+        up = rng.standard_normal(3)
+        want = ref_fn(X, fwd, up)
+        got = get_canonical_orientation(X, fwd, up)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+        pitch = np.degrees(np.arcsin(want[2] if abs(want[2]) <= 1 else 0))
+        hits.add(int(np.clip(pitch // 45, -2, 2)))
+    assert len(hits) >= 3  # fuzz actually reached multiple pitch regimes
+
+    # flip: reference free function vs the SkeletonSpec method, using the
+    # spec's DERIVED xflip rows
+    for _ in range(20):
+        arr = rng.standard_normal((len(SPEC.xflip_rows), 3))
+        np.testing.assert_allclose(
+            SPEC.flip_offsets(arr), ref_flip(arr, list(SPEC.xflip_rows)),
+            rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# mean_embs_by_frame (apply_vipe_model.py:39-69)
+# ---------------------------------------------------------------------------
+
+def test_mean_embs_by_frame_oracle():
+    _stub_torchvision()
+    import apply_vipe_model as ref_av
+    from vpd_tpu.infer.apply_vipe import mean_embs_by_frame
+
+    rng = np.random.default_rng(5)
+    for flip in (False, True):
+        pred_embs = []
+        for frame in rng.permutation(12)[:8]:
+            for _ in range(int(rng.integers(1, 4))):
+                metas = ([{'is_flip': False}, {'is_flip': True}]
+                         if flip else [{}])
+                for meta in metas:
+                    meta = dict(meta, kp_score=float(rng.random()))
+                    pred_embs.append(
+                        (int(frame),
+                         rng.standard_normal(4).astype(np.float32), meta))
+        want = ref_av.mean_embs_by_frame(list(pred_embs), flip)
+        got = mean_embs_by_frame(list(pred_embs), flip)
+        assert len(want) == len(got)
+        for (wf, we, wm), (gf, ge, gm) in zip(want, got):
+            assert wf == gf
+            np.testing.assert_allclose(ge, we, rtol=1e-6)
+            assert wm == gm
+
+
+# ---------------------------------------------------------------------------
+# Detection AP chain (detect.py:98-238)
+# ---------------------------------------------------------------------------
+
+def _stub_numba():
+    if 'numba' in sys.modules:
+        return
+    numba = types.ModuleType('numba')
+
+    def jit(*args, **kwargs):
+        if args and callable(args[0]):
+            return args[0]
+        return lambda fn: fn
+
+    numba.jit = jit
+    numba.njit = jit
+    sys.modules['numba'] = numba
+
+
+def test_detect_ap_oracle():
+    _stub_numba()
+    import detect as ref_detect
+    from vpd_tpu.tasks import eval as our_eval
+    from vpd_tpu.tasks.detect import Label, get_video_intervals
+
+    rng = np.random.default_rng(3)
+
+    for _ in range(300):
+        a1 = int(rng.integers(0, 50)); a2 = a1 + int(rng.integers(0, 30))
+        b1 = int(rng.integers(0, 50)); b2 = b1 + int(rng.integers(0, 30))
+        if a2 == a1 and b2 == b1:
+            continue  # both degenerate: 0/0
+        want = ref_detect.calc_iou(a1, a2, b1, b2)
+        got = our_eval.calc_iou(a1, a2, b1, b2)
+        assert abs(want - got) < 1e-12, (a1, a2, b1, b2)
+
+    for _ in range(100):
+        n = int(rng.integers(1, 60))
+        is_tp = list(rng.random(n) < rng.random())
+        if not any(is_tp):
+            is_tp[int(rng.integers(n))] = True
+        num_pos = int(sum(is_tp)) + int(rng.integers(0, 4))
+        pc, rc = ref_detect.compute_precision_recall_curve(is_tp, num_pos)
+        gpc, grc = our_eval.compute_precision_recall_curve(is_tp, num_pos)
+        np.testing.assert_allclose(gpc, pc, rtol=1e-12)
+        np.testing.assert_allclose(grc, rc, rtol=1e-12)
+        ipc, irc = ref_detect.compute_interpolated_precision(pc, rc)
+        gipc, girc = our_eval.compute_interpolated_precision(pc, rc)
+        np.testing.assert_allclose(gipc, ipc, rtol=1e-12)
+        np.testing.assert_allclose(girc, irc, rtol=1e-12)
+        assert abs(ref_detect.compute_ap(pc, rc)
+                   - our_eval.compute_ap(pc, rc)) < 1e-12
+
+    for _ in range(30):
+        examples = [
+            Label('v%d' % rng.integers(0, 4), 'x',
+                  s := int(rng.integers(0, 90)), s + int(rng.integers(1, 20)),
+                  25.0)
+            for _ in range(int(rng.integers(1, 25)))]
+        ref_examples = [ref_detect.Label(*l) for l in examples]
+        want = ref_detect.get_video_intervals(ref_examples)
+        got = get_video_intervals(examples)
+        assert set(want) == set(got)
+        for k in want:
+            assert list(want[k]) == list(got[k]), k
+
+
+# ---------------------------------------------------------------------------
+# Recognition dataset loaders (recognize.py:298-452)
+# ---------------------------------------------------------------------------
+
+def _stub_dtw():
+    if 'dtw' in sys.modules:
+        return
+    dtw = types.ModuleType('dtw')
+    dtw.dtw = None
+    sys.modules['dtw'] = dtw
+
+
+def _write_emb_file(path, frames, dim, rng):
+    import pickle as pkl
+    rows = []
+    for f in sorted(frames):
+        for _ in range(1 + int(rng.integers(0, 2))):  # some frames 2 dets
+            rows.append((int(f), rng.standard_normal(dim).astype(np.float32),
+                         {'kp_score': float(rng.random())}))
+    with open(path, 'wb') as fp:
+        pkl.dump(rows, fp)
+
+
+def _load_ref_pickle(path):
+    import pickle as pkl
+    with open(path, 'rb') as fp:
+        return pkl.load(fp)
+
+
+def _cmp_loader_outputs(want, got):
+    (rcat, rtre, rtrl, rve, rvl, rte, rtl, rints) = want
+    (gcat, gtre, gtrl, gve, gvl, gte, gtl, gints) = got
+    assert ({k: v.name for k, v in rcat.items()}
+            == {k: v.name for k, v in gcat.items()})
+    for re_, ge in ((rtre, gtre), (rve, gve), (rte, gte)):
+        assert set(re_) == set(ge)
+        for k in re_:
+            if re_[k] is None:
+                assert ge[k] is None, k
+            else:
+                np.testing.assert_allclose(ge[k], re_[k],
+                                           rtol=1e-6, atol=1e-8)
+    assert rtrl == gtrl and rvl == gvl and rtl == gtl
+    assert set(rints) == set(gints)
+    for k in rints:
+        np.testing.assert_allclose(
+            np.asarray(gints[k], dtype=float),
+            np.asarray(rints[k], dtype=float), rtol=1e-9)
+
+
+def test_recognize_tennis_loader_oracle(tmp_path, monkeypatch):
+    """Windowing, split routing and interval math vs recognize.py:298-382."""
+    _stub_dtw()
+    import recognize as ref_recognize
+    from vpd_tpu.datasets.recognition_data import load_tennis_data
+
+    rng = np.random.default_rng(17)
+    cache = _load_ref_pickle(
+        os.path.join(REF, 'data/sports.cache/tennis.video_meta.pkl'))
+    clips_by_video = {}
+    for clip_name in cache:
+        video, s, e = clip_name.rsplit('_', 2)
+        clips_by_video.setdefault(video, []).append(
+            (int(s), int(e), clip_name))
+
+    with open(os.path.join(REF, 'action_dataset/tennis/all.txt')) as fp:
+        all_actions = [l.strip().split(' ') for l in fp if l.strip()]
+    val_ids = set()
+    with open(os.path.join(REF, 'action_dataset/tennis/val.ids.txt')) as fp:
+        val_ids = {l.strip() for l in fp if l.strip()}
+    from vpd_tpu.datasets.eval_splits import get_test_prefixes
+    test_prefixes = get_test_prefixes('tennis')
+
+    # choose actions: >=4 per split with a matching clip, plus 2 unmatched
+    counts = {'train': 0, 'val': 0, 'test': 0, 'none': 0}
+    selected, emb_frames = [], {}
+    for action, label in all_actions:
+        base, player, frame = action.split(':')
+        frame = int(frame)
+        hit = next(((s, e, c) for s, e, c in clips_by_video.get(base, [])
+                    if s <= frame <= e), None)
+        split = ('test' if base.startswith(test_prefixes)
+                 else 'val' if action in val_ids else 'train')
+        if hit is None:
+            if counts['none'] < 2:
+                counts['none'] += 1
+                selected.append((action, label))
+            continue
+        if counts[split] >= 4:
+            continue
+        counts[split] += 1
+        selected.append((action, label))
+        s, e, clip_name = hit
+        fps = cache[clip_name].fps
+        mid = frame - s
+        lo = max(0, int(mid - fps * 0.5))
+        hi = int(mid + fps * 0.5)
+        key = player + '__' + clip_name
+        # sparse frames leave gaps -> group_by_frame interpolation runs
+        emb_frames.setdefault(key, set()).update(range(lo, hi, 3))
+        if all(c >= 4 for c in
+               [counts['train'], counts['val'], counts['test']]) \
+                and counts['none'] >= 2:
+            break
+    assert all(counts[k] >= 4 for k in ('train', 'val', 'test')), counts
+
+    sandbox = tmp_path / 'sandbox'
+    (sandbox / 'action_dataset' / 'tennis').mkdir(parents=True)
+    with open(sandbox / 'action_dataset' / 'tennis' / 'all.txt', 'w') as fp:
+        for action, label in selected:
+            fp.write('%s %s\n' % (action, label))
+    import shutil
+    shutil.copy(os.path.join(REF, 'action_dataset/tennis/val.ids.txt'),
+                sandbox / 'action_dataset' / 'tennis' / 'val.ids.txt')
+    (sandbox / 'data' / 'sports.cache').mkdir(parents=True)
+    shutil.copy(os.path.join(REF, 'data/sports.cache/tennis.video_meta.pkl'),
+                sandbox / 'data' / 'sports.cache' / 'tennis.video_meta.pkl')
+    emb_dir = tmp_path / 'embs'
+    emb_dir.mkdir()
+    for key, frames in emb_frames.items():
+        _write_emb_file(str(emb_dir / (key + '.emb.pkl')), frames, 4, rng)
+
+    monkeypatch.chdir(sandbox)
+    monkeypatch.setattr(ref_recognize.dataset_paths, 'TENNIS_VIDEO_DIR',
+                        str(tmp_path / 'no_such_dir'))
+    want = ref_recognize.load_tennis_data('tennis', str(emb_dir), True)
+    got = load_tennis_data('tennis', str(emb_dir), True,
+                           video_meta_dict=cache,
+                           action_dir=str(sandbox / 'action_dataset'))
+    _cmp_loader_outputs(want, got)
+
+
+def test_recognize_fs_loader_oracle(tmp_path, monkeypatch):
+    """Dilated jump windows + splits vs recognize.py:384-452 (including
+    the unclamped negative start_frame slice quirk)."""
+    _stub_dtw()
+    import recognize as ref_recognize
+    from vpd_tpu.datasets.recognition_data import load_fs_data
+
+    rng = np.random.default_rng(19)
+    cache = _load_ref_pickle(
+        os.path.join(REF, 'data/sports.cache/fs.video_meta.pkl'))
+    with open(os.path.join(REF, 'action_dataset/fs/all.txt')) as fp:
+        all_actions = [l.strip().split(' ') for l in fp if l.strip()]
+    with open(os.path.join(REF, 'action_dataset/fs/val.ids.txt')) as fp:
+        val_ids = {l.strip() for l in fp if l.strip()}
+    from vpd_tpu.datasets.eval_splits import get_test_prefixes
+    test_prefixes = get_test_prefixes('fs')
+
+    counts = {'train': 0, 'val': 0, 'test': 0}
+    selected, emb_frames = [], {}
+    empty_video = None  # one video whose emb slice comes out empty -> None
+    for action, label in all_actions:
+        video, s, e = action.split(':')
+        if video not in cache:
+            continue
+        split = ('test' if video.startswith(test_prefixes)
+                 else 'val' if action in val_ids else 'train')
+        if counts[split] >= 4:
+            continue
+        counts[split] += 1
+        selected.append((action, label))
+        s, e = int(s), int(e)
+        fps = cache[video].fps
+        mid = (s + e) / 2
+        lo = min(s, int(mid - fps * 2.5))
+        hi = max(e, int(mid + fps * 0.5))
+        if empty_video is None and lo > 8:
+            # frames all below the window start -> dense slice is empty
+            emb_frames[video] = set(range(0, 8, 2))
+            empty_video = video
+        else:
+            emb_frames.setdefault(video, set()).update(
+                range(max(0, lo), hi, 4))
+        if all(c >= 4 for c in counts.values()) and empty_video:
+            break
+    assert all(c >= 4 for c in counts.values()), counts
+    assert empty_video is not None
+
+    sandbox = tmp_path / 'sandbox'
+    (sandbox / 'action_dataset' / 'fs').mkdir(parents=True)
+    with open(sandbox / 'action_dataset' / 'fs' / 'all.txt', 'w') as fp:
+        for action, label in selected:
+            fp.write('%s %s\n' % (action, label))
+    import shutil
+    shutil.copy(os.path.join(REF, 'action_dataset/fs/val.ids.txt'),
+                sandbox / 'action_dataset' / 'fs' / 'val.ids.txt')
+    (sandbox / 'data' / 'sports.cache').mkdir(parents=True)
+    shutil.copy(os.path.join(REF, 'data/sports.cache/fs.video_meta.pkl'),
+                sandbox / 'data' / 'sports.cache' / 'fs.video_meta.pkl')
+    emb_dir = tmp_path / 'embs'
+    emb_dir.mkdir()
+    for key, frames in emb_frames.items():
+        _write_emb_file(str(emb_dir / (key + '.emb.pkl')), frames, 4, rng)
+
+    monkeypatch.chdir(sandbox)
+    monkeypatch.setattr(ref_recognize.dataset_paths, 'FS_VIDEO_DIR',
+                        str(tmp_path / 'no_such_dir'))
+    want = ref_recognize.load_fs_data(str(emb_dir), True)
+    got = load_fs_data(str(emb_dir), True, video_meta_dict=cache,
+                       action_dir=str(sandbox / 'action_dataset'))
+    _cmp_loader_outputs(want, got)
