@@ -1295,3 +1295,132 @@ def test_recognize_fs_loader_oracle(tmp_path, monkeypatch):
     got = load_fs_data(str(emb_dir), True, video_meta_dict=cache,
                        action_dir=str(sandbox / 'action_dataset'))
     _cmp_loader_outputs(want, got)
+
+
+# ---------------------------------------------------------------------------
+# kNN protocol (util/neighbors.py:29-101, recognize.py:125-184,580-649)
+# ---------------------------------------------------------------------------
+
+def _mean_dist(a, b):
+    # deterministic, frequent exact ties via rounding (exercises the
+    # heap tie-breaks)
+    return round(float(abs(np.mean(a) - np.mean(b))), 1)
+
+
+def _max_dist(a, b):
+    return round(float(abs(np.max(a) - np.max(b))), 1)
+
+
+def test_knn_neighbors_oracle():
+    _stub_dtw()
+    from util.neighbors import (KNearestNeighbors as RefKNN,
+                                Neighbors as RefNbrs)
+    from vpd_tpu.tasks.neighbors import KNearestNeighbors, Neighbors
+
+    rng = np.random.default_rng(23)
+    for _ in range(30):
+        n = int(rng.integers(3, 12))
+        X = [rng.standard_normal((int(rng.integers(1, 6)), 3))
+             for _ in range(n)]
+        y = [int(c) for c in rng.integers(0, 3, n)]
+        k = int(rng.integers(1, 5))
+        ref = RefKNN(X, y, _mean_dist, k=k)
+        got = KNearestNeighbors(X, y, _mean_dist, k=k)
+        for _ in range(4):
+            q = rng.standard_normal((int(rng.integers(1, 6)), 3))
+            assert ref.predict(q) == got.predict(q)
+            qs = [rng.standard_normal((2, 3)) for _ in range(2)]
+            assert ref.predict_n(*qs) == got.predict_n(*qs)
+
+    for _ in range(20):
+        n = int(rng.integers(3, 15))
+        X = [None if rng.random() < 0.2
+             else rng.standard_normal((int(rng.integers(1, 8)), 3))
+             for _ in range(n)]
+        ref = RefNbrs(X, _mean_dist)
+        got = Neighbors(X, _mean_dist)
+        q = rng.standard_normal((3, 3))
+        for k in (1, 3, 50):
+            for min_len in (1, 3):
+                assert ref.find(q, k, min_len) == got.find(q, k, min_len)
+
+
+def test_knn_model_oracle(monkeypatch):
+    """KnnModel incl. variant stacking, ensembling and top-class fallback."""
+    _stub_dtw()
+    import recognize as ref_recognize
+    from vpd_tpu.tasks import recognize as our_recognize
+
+    def fake_build(step_pattern='symmetricP2'):
+        return _mean_dist if step_pattern == 'symmetricP2' else _max_dist
+
+    monkeypatch.setattr(ref_recognize, 'build_dtw_distance_fn', fake_build)
+    monkeypatch.setattr(our_recognize, 'make_dtw_fns',
+                        lambda: (_mean_dist, _max_dist))
+
+    rng = np.random.default_rng(29)
+    for variants in (False, True):
+        train_embs, train_labels = {}, {}
+        for i in range(10):
+            t = int(rng.integers(2, 6))
+            shape = (t, 2, 3) if variants else (t, 3)
+            train_embs['seq%d' % i] = \
+                rng.standard_normal(shape).astype(np.float32)
+            train_labels['seq%d' % i] = int(rng.integers(0, 3))
+        ref = ref_recognize.KnnModel('dtw', train_embs, train_labels, k=3)
+        got = our_recognize.KnnModel('dtw', train_embs, train_labels, k=3)
+        assert ref.top_class == got.top_class
+        for ensemble in (True, False):
+            for _ in range(6):
+                t = int(rng.integers(2, 6))
+                x = rng.standard_normal(
+                    (t, 2, 3) if variants else (t, 3)).astype(np.float32)
+                assert (ref.predict(x, ensemble=ensemble)
+                        == got.predict(x, ensemble=ensemble))
+        assert ref.predict(None) == got.predict(None)  # top-class fallback
+
+
+def test_run_action_retrieval_oracle(monkeypatch, capsys):
+    """Full retrieval protocol: hit@k / prec@k tables match the reference
+    (identical injected distance fn; reference output parsed from its
+    printed tabulate tables)."""
+    _stub_dtw()
+    import recognize as ref_recognize
+    from vpd_tpu.tasks.recognize import run_action_retrieval
+
+    monkeypatch.setattr(ref_recognize, 'build_dtw_distance_fn',
+                        lambda *a, **k: _mean_dist)
+    import vpd_tpu.tasks.recognize as our_recognize
+    monkeypatch.setattr(our_recognize, 'build_dtw_distance_fn',
+                        lambda *a, **k: _mean_dist)
+
+    rng = np.random.default_rng(31)
+    emb_dict, label_dict = {}, {}
+    for i in range(14):
+        name = 'a%02d' % i
+        if i == 13:
+            emb_dict[name] = None  # embs-less query path
+        else:
+            emb_dict[name] = rng.standard_normal(
+                (int(rng.integers(2, 7)), 4)).astype(np.float32)
+        label_dict[name] = int(rng.integers(0, 3))
+
+    for queryset in (None, {'a01', 'a04', 'a05', 'a13'}):
+        hit_t = [1, 3, 5]
+        capsys.readouterr()
+        ref_recognize.run_action_retrieval(
+            dict(emb_dict), dict(label_dict), list(hit_t),
+            queryset=queryset)
+        out = capsys.readouterr().out
+        rows = [l for l in out.splitlines() if l.startswith('%')]
+        assert len(rows) == 2, out
+        want_hit = [float(x) for x in rows[0].split()[1:]]
+        want_prec = [float(x) for x in rows[1].split()[1:]]
+
+        hit_rates, precs = run_action_retrieval(
+            dict(emb_dict), dict(label_dict), list(hit_t),
+            queryset=queryset, log=lambda *a: None)
+        got_hit = [round(hit_rates[h], 2) for h in hit_t]
+        got_prec = [round(precs[h], 2) for h in hit_t]
+        np.testing.assert_allclose(got_hit, want_hit, atol=5e-3)
+        np.testing.assert_allclose(got_prec, want_prec, atol=5e-3)
