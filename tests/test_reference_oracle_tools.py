@@ -1,0 +1,287 @@
+"""Differential tests vs the reference's preprocessing tools as oracle.
+
+Companion to test_reference_oracle.py (models/datasets/tasks); this file
+covers the crop-extraction and pose-preprocessing tool chain by importing
+the ACTUAL reference code at /root/reference and asserting head-to-head
+equality:
+
+  * `util/video.py:100-141` crop_frame (square/pad/zero-fill semantics)
+    vs `vpd_tpu.utils.video.crop_frame`, fuzzed incl. out-of-bounds boxes.
+  * `extract_square_crops.py:42-53` DelayBuffer ring protocol.
+  * `extract_square_crops.py:56-135` extract_crops END TO END on a real
+    mp4: byte-identical PNG trees (crops, .prev{k}, masks), incl. box
+    union smoothing, target_fps prev gaps, and the score>0.8 mask filter.
+  * `vipe_dataset/{human36m,people3d,nba2k,amass}.py` raw skeleton
+    loaders (scale, hip-centering, canonical-yaw SVD, theta, parent
+    offsets) vs `vpd_tpu.geometry.*.load_raw_skeleton`.
+  * `dummy_2d_features.py:24-55` (2D-VPD baseline teacher) end to end:
+    identical `.emb.pkl` payloads for flat and nested pose dirs.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = '/root/reference'
+if not os.path.isdir(REF):
+    pytest.skip('reference tree not available', allow_module_level=True)
+pytest.importorskip('scipy')
+cv2 = pytest.importorskip('cv2')
+
+if REF not in sys.path:
+    sys.path.append(REF)  # append: never shadows repo/test modules
+
+
+# ---------------------------------------------------------------------------
+# util/video.py crop_frame
+# ---------------------------------------------------------------------------
+
+def test_crop_frame_oracle():
+    from util.video import crop_frame as ref_crop_frame
+
+    from vpd_tpu.utils.video import crop_frame
+
+    rng = np.random.default_rng(0)
+    fh, fw = 73, 97
+    frame = rng.integers(0, 255, (fh, fw, 3), dtype=np.uint8)
+    for trial in range(200):
+        x1, y1 = rng.integers(-30, fw, 2)
+        w = int(rng.integers(1, 60))
+        h = int(rng.integers(1, 60))
+        x2, y2 = x1 + w, y1 + h
+        make_square = bool(rng.integers(0, 2))
+        pad_kind = trial % 3
+        kwargs = {}
+        if pad_kind == 1:
+            kwargs['pad_px'] = int(rng.integers(0, 30))
+        elif pad_kind == 2:
+            kwargs['pad_frac'] = float(rng.uniform(0, 0.4))
+        # Fully out-of-frame boxes trip the reference's make_square
+        # shape assert (negative slice ends); parity includes raising.
+        try:
+            ref = ref_crop_frame(int(x1), int(y1), int(x2), int(y2), frame,
+                                 make_square=make_square, **kwargs)
+        except AssertionError:
+            with pytest.raises(AssertionError):
+                crop_frame(int(x1), int(y1), int(x2), int(y2), frame,
+                           make_square=make_square, **kwargs)
+            continue
+        ours = crop_frame(int(x1), int(y1), int(x2), int(y2), frame,
+                          make_square=make_square, **kwargs)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_delay_buffer_oracle():
+    import extract_square_crops as ref_tool
+
+    from vpd_tpu.tools.extract_square_crops import DelayBuffer
+
+    rng = np.random.default_rng(1)
+    for n in (1, 2, 5):
+        ours, ref = DelayBuffer(n), ref_tool.DelayBuffer(n)
+        for step in range(40):
+            x = int(rng.integers(0, 1000))
+            ours.push(x)
+            ref.push(x)
+            for i in range(2 * n):
+                assert ours.get(i) == ref.get(i), (n, step, i)
+
+
+# ---------------------------------------------------------------------------
+# extract_square_crops.py end to end (crops + prev + masks, byte-equal)
+# ---------------------------------------------------------------------------
+
+def _write_video(path, frames, fps):
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*'mp4v'),
+                         fps, (w, h))
+    assert vw.isOpened()
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+
+def _dir_bytes(d):
+    out = {}
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name), 'rb') as fp:
+            out[name] = fp.read()
+    return out
+
+
+@pytest.mark.parametrize('target_fps,num_prev', [(None, 1), (5, 2)])
+def test_extract_crops_oracle(tmp_path, target_fps, num_prev):
+    from extract_square_crops import extract_crops as ref_extract
+
+    from vpd_tpu.core.io import encode_png
+    from vpd_tpu.tools.extract_square_crops import extract_crops
+
+    rng = np.random.default_rng(2)
+    fh, fw, fps = 72, 96, 10.0
+    frames = [rng.integers(0, 255, (fh, fw, 3), dtype=np.uint8)
+              for _ in range(16)]
+    video = tmp_path / 'vid.mp4'
+    _write_video(video, frames, fps)
+
+    # boxes (x, y, w, h) with a gap at frame 7 (resets union smoothing
+    # via prev_box=None assignment) and float coords (int() conversion)
+    box_dict = {}
+    for f in [2, 3, 4, 5, 6, 8, 9, 12]:
+        x = float(rng.uniform(-5, fw - 20))
+        y = float(rng.uniform(-5, fh - 20))
+        box_dict[f] = [x, y, float(rng.uniform(8, 40)),
+                       float(rng.uniform(8, 30))]
+
+    # masks: scores straddle the 0.8 filter; the sorted max wins
+    mask_dict = {}
+    for f in [3, 5]:
+        entries = []
+        for score in (0.7, 0.85, 0.95):
+            mw, mh = int(rng.integers(5, 20)), int(rng.integers(5, 20))
+            mx = int(rng.integers(0, fw - mw))
+            my = int(rng.integers(0, fh - mh))
+            raw = encode_png(rng.integers(0, 2, (mh, mw)).astype(bool))
+            entries.append([score, [mx, my, mw, mh], raw])
+        mask_dict[f] = entries
+
+    out_ref = tmp_path / 'ref_out'
+    out_ours = tmp_path / 'our_out'
+    out_ref.mkdir()
+    out_ours.mkdir()
+    ref_extract(str(video), dict(box_dict),
+                {k: [list(e) for e in v] for k, v in mask_dict.items()},
+                str(out_ref), 32, target_fps, num_prev, True, False)
+    extract_crops(str(video), dict(box_dict),
+                  {k: [list(e) for e in v] for k, v in mask_dict.items()},
+                  str(out_ours), 32, target_fps, num_prev, True)
+
+    ref_files = _dir_bytes(out_ref)
+    our_files = _dir_bytes(out_ours)
+    assert set(ref_files) == set(our_files)
+    assert any(n.endswith('.mask.png') for n in ref_files)
+    assert any('.prev' in n for n in ref_files)
+    for name, data in ref_files.items():
+        assert our_files[name] == data, name
+
+
+# ---------------------------------------------------------------------------
+# raw 3D skeleton loaders (preprocess_3d_pose's per-frame canonicalizers)
+# ---------------------------------------------------------------------------
+
+def _fuzz_poses(n, shape, scale, seed):
+    rng = np.random.default_rng(seed)
+    return [rng.uniform(-scale, scale, shape) for _ in range(n)]
+
+
+def _assert_loader_equal(ours, ref):
+    """theta + offsets must match head-to-head.
+
+    The roots intentionally differ: every reference loader does
+    `hips_raw = xyz[0, :]; xyz -= hips_raw`, so the returned root is a
+    view zeroed by the in-place subtraction. Downstream unpacks it as
+    `_, rotation, abs_kp_offsets` (vipe_dataset/keypoint.py:118) and
+    never reads it; ours keeps the true raw root (QUIRKS.md). The test
+    pins the quirk so a reference-behavior change would be noticed.
+    """
+    root_o, theta_o, off_o = ours
+    root_r, theta_r, off_r = ref
+    np.testing.assert_array_equal(np.asarray(root_r),
+                                  np.zeros_like(np.asarray(root_r)))
+    assert not np.allclose(root_o, 0.0)  # ours keeps the real root
+    assert abs(float(theta_o) - float(theta_r)) < 1e-4
+    np.testing.assert_allclose(np.asarray(off_o), np.asarray(off_r),
+                               atol=1e-5)
+
+
+def test_human36m_raw_loader_oracle():
+    from vipe_dataset.human36m import load_human36m_skeleton
+
+    from vpd_tpu.geometry import human36m
+
+    for pose in _fuzz_poses(25, 96, 120.0, 3):
+        _assert_loader_equal(human36m.load_raw_skeleton(pose),
+                             load_human36m_skeleton(pose, False))
+
+
+def test_nba2k_raw_loader_oracle():
+    from vipe_dataset.nba2k import load_nba2k_skeleton
+
+    from vpd_tpu.geometry import nba2k
+
+    for pose in _fuzz_poses(25, (35, 3), 1.2, 4):
+        _assert_loader_equal(nba2k.load_raw_skeleton(pose),
+                             load_nba2k_skeleton(pose.copy(), False))
+
+
+def test_amass_raw_loader_oracle():
+    from vipe_dataset.amass import load_amass_skeleton
+
+    from vpd_tpu.geometry import amass
+
+    for pose in _fuzz_poses(25, (22, 3), 1.2, 5):
+        _assert_loader_equal(amass.load_raw_skeleton(pose),
+                             load_amass_skeleton(pose.copy(), False))
+
+
+def test_people3d_raw_loader_oracle(tmp_path):
+    from vipe_dataset.people3d import load_3dpeople_skeleton
+
+    from vpd_tpu.geometry import people3d
+
+    for i, pose in enumerate(_fuzz_poses(10, (67, 6), 1.5, 6)):
+        fpath = tmp_path / '{:04d}.txt'.format(i)
+        np.savetxt(fpath, pose)
+        _assert_loader_equal(people3d.load_raw_skeleton(str(fpath)),
+                             load_3dpeople_skeleton(str(fpath), False))
+
+
+# ---------------------------------------------------------------------------
+# dummy_2d_features.py (2D-VPD baseline teacher) end to end
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('no_flip', [False, True])
+@pytest.mark.parametrize('nested', [False, True])
+def test_dummy_2d_features_oracle(tmp_path, no_flip, nested):
+    pytest.importorskip('torch')  # reference normalize_2d_skeleton wants it
+    import dummy_2d_features as ref_tool
+
+    from vpd_tpu.core.io import load_pickle, store_gz_json
+    from vpd_tpu.tools.dummy_2d_features import main as our_main
+
+    rng = np.random.default_rng(7)
+    pose_dir = tmp_path / 'poses'
+    pose_dir.mkdir()
+    for v in range(2):
+        rows = []
+        for f in range(0, 12, 2):
+            kp = rng.normal(200, 50, (17, 3))
+            kp[:, 2] = rng.uniform(0, 1, 17)
+            rows.append([f, [[0, None, None, kp.tolist()]]])
+        if nested:
+            vdir = pose_dir / 'video{}'.format(v)
+            vdir.mkdir()
+            store_gz_json(str(vdir / 'coco_keypoints.json.gz'), rows)
+        else:
+            store_gz_json(str(pose_dir / 'video{}.json.gz'.format(v)),
+                          rows)
+
+    out_ref = tmp_path / 'ref_out'
+    out_ours = tmp_path / 'our_out'
+    ref_tool.main(str(pose_dir), str(out_ref), no_flip)
+    our_main(str(pose_dir), str(out_ours), no_flip)
+
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_ours))
+    assert names == ['video0.emb.pkl', 'video1.emb.pkl']
+    for name in names:
+        ref_embs = load_pickle(str(out_ref / name))
+        our_embs = load_pickle(str(out_ours / name))
+        assert len(ref_embs) == len(our_embs) == 6
+        for (f1, e1, m1), (f2, e2, m2) in zip(ref_embs, our_embs):
+            assert f1 == f2
+            np.testing.assert_allclose(e2, e1, atol=1e-6)
+            assert m1.keys() == m2.keys()
+            assert m1['is_2d'] == m2['is_2d']
+            assert abs(m1['kp_score'] - m2['kp_score']) < 1e-6
