@@ -15,7 +15,7 @@ program before printing anything). So this bench measures a SMALL batch
 first and prints a complete JSON line immediately, then escalates batch
 size, reprinting the best-so-far line after each stage — whenever a driver
 timeout lands, the tail still holds one valid result. A wall-clock budget
-(VPD_BENCH_BUDGET_S, default 360 s) stops escalation before the driver's
+(VPD_BENCH_BUDGET_S, default 480 s) stops escalation before the driver's
 own timeout would.
 
 Prints one-or-more JSON lines (LAST line = best measurement):
@@ -31,7 +31,7 @@ import time
 import numpy as np
 
 BASELINE = 5000.0
-BUDGET_S = float(os.environ.get('VPD_BENCH_BUDGET_S', '360'))
+BUDGET_S = float(os.environ.get('VPD_BENCH_BUDGET_S', '480'))
 START = time.perf_counter()
 
 

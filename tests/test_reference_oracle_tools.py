@@ -16,6 +16,14 @@ equality:
     offsets) vs `vpd_tpu.geometry.*.load_raw_skeleton`.
   * `dummy_2d_features.py:24-55` (2D-VPD baseline teacher) end to end:
     identical `.emb.pkl` payloads for flat and nested pose dirs.
+  * `vpd_dataset/single_frame.py:361-403` FrameDataset (the extraction
+    input path: /255, Normalize, flow decode, flip + x-flow negation,
+    variant stacking) vs `data/augment.py` eval_transform_batch +
+    flip_batch on identical PNGs (torchvision.transforms stubbed with
+    the documented Normalize semantics; everything else is real
+    reference code).
+  * `stack_features.py:20-43` end to end: identical stacked `.emb.pkl`
+    payloads incl. the dp_score-over-kp_score min-score meta rule.
 """
 
 import os
@@ -285,3 +293,155 @@ def test_dummy_2d_features_oracle(tmp_path, no_flip, nested):
             assert m1.keys() == m2.keys()
             assert m1['is_2d'] == m2['is_2d']
             assert abs(m1['kp_score'] - m2['kp_score']) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# vpd_dataset/single_frame.py FrameDataset (extraction input assembly)
+# ---------------------------------------------------------------------------
+
+def _stub_torchvision_transforms():
+    """single_frame.py imports torchvision.transforms at module scope.
+
+    FrameDataset's deterministic path only *calls* Normalize; ColorJitter
+    / RandomResizedCrop / Compose are constructed but never invoked with
+    augment_jitter=0, so they can be inert. Normalize is implemented with
+    the documented torch semantics ((x - mean[:,None,None]) / std) — the
+    RGB_MEAN_STD constants themselves are oracled in
+    test_reference_oracle.py; everything downstream of the stub
+    (/255, permute, flow decode, flip, variant order) is real reference
+    code.
+    """
+    import types
+
+    import torch
+
+    if 'torchvision' in sys.modules:
+        return
+    tv = types.ModuleType('torchvision')
+    tr = types.ModuleType('torchvision.transforms')
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    class _Inert:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):  # pragma: no cover - never reached
+            raise NotImplementedError('inert torchvision stub called')
+
+    tr.Normalize = Normalize
+    tr.ColorJitter = _Inert
+    tr.RandomResizedCrop = _Inert
+    tr.Compose = _Inert
+    tv.transforms = tr
+    sys.modules['torchvision'] = tv
+    sys.modules['torchvision.transforms'] = tr
+
+
+@pytest.mark.parametrize('use_flow', [False, True])
+@pytest.mark.parametrize('flip', [False, True])
+def test_frame_dataset_oracle(tmp_path, use_flow, flip):
+    pytest.importorskip('torch')
+    pytest.importorskip('sklearn')
+    _stub_torchvision_transforms()
+    from vpd_dataset.common import RGB_MEAN_STD as REF_MEAN_STD
+    from vpd_dataset.single_frame import FrameDataset
+
+    import jax.numpy as jnp
+    from vpd_tpu.data.augment import (RGB_MEAN_STD, eval_transform_batch,
+                                      flip_batch)
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    rgb = rng.integers(0, 255, (dim, dim, 3), dtype=np.uint8)
+    prefix = str(tmp_path / 'v0_000123')
+    cv2.imwrite(prefix + '.png', cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+    flow = None
+    if use_flow:
+        flow = rng.integers(0, 255, (dim, dim, 3), dtype=np.uint8)
+        cv2.imwrite(prefix + '.flow.png',
+                    flow)  # cv2 BGR write/read round-trips channels 0/1
+
+    ds = FrameDataset(
+        [('v0', 123, prefix)], dim, REF_MEAN_STD['tennis'],
+        augment_jitter=0, augment_flip=flip,
+        flow_img_name='flow' if use_flow else None)
+    item = ds[0]
+    assert item['video'] == 'v0' and item['frame'] == 123
+    ref = item['img'].numpy()  # (k, C, H, W)
+
+    mean, std = RGB_MEAN_STD['tennis']
+    # cv2 round-trips the flow PNG: imread returns BGR of what imwrite
+    # got, and the reference reads its own layout back, so feed the raw
+    # array's first two channels the way _load_flow sees them.
+    flow_in = (cv2.imread(prefix + '.flow.png')[None] if use_flow
+               else None)
+    x = eval_transform_batch(
+        jnp.asarray(rgb[None]), mean, std,
+        flow_u8=jnp.asarray(flow_in) if use_flow else None)
+    variants = [x]
+    if flip:
+        variants.append(flip_batch(x, use_flow))
+    ours = np.concatenate([np.asarray(v) for v in variants], axis=0)
+    ours = ours.transpose(0, 3, 1, 2)  # NHWC -> reference's NCHW
+
+    assert ref.shape == ours.shape == (
+        (2 if flip else 1), (5 if use_flow else 3), dim, dim)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# stack_features.py end to end
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('two_dim', [False, True])
+def test_stack_features_oracle(tmp_path, two_dim):
+    pytest.importorskip('torch')
+    pytest.importorskip('sklearn')
+    _stub_torchvision_transforms()
+    import stack_features as ref_tool
+
+    from vpd_tpu.core.io import load_pickle, store_pickle
+    from vpd_tpu.tools.stack_features import main as our_main
+
+    rng = np.random.default_rng(13)
+    d1, d2 = tmp_path / 'd1', tmp_path / 'd2'
+    d1.mkdir()
+    d2.mkdir()
+    shape1 = (3, 8) if two_dim else (8,)
+    shape2 = (3, 4) if two_dim else (4,)
+    for v in range(2):
+        rows1, rows2 = [], []
+        for i, f in enumerate(range(0, 9, 3)):
+            # metas exercise the dp_score > kp_score > default rule
+            meta1 = ({'dp_score': 0.9, 'kp_score': 0.2} if i == 0 else
+                     {'kp_score': 0.6} if i == 1 else {})
+            meta2 = {'kp_score': 0.4} if i != 2 else {}
+            rows1.append((f, rng.normal(size=shape1).astype(np.float32),
+                          dict(meta1)))
+            rows2.append((f, rng.normal(size=shape2).astype(np.float32),
+                          dict(meta2)))
+        store_pickle(str(d1 / 'video{}.emb.pkl'.format(v)), rows1)
+        store_pickle(str(d2 / 'video{}.emb.pkl'.format(v)), rows2)
+
+    out_ref, out_ours = tmp_path / 'oref', tmp_path / 'oours'
+    ref_tool.main(str(d1), str(d2), str(out_ref))
+    our_main(str(d1), str(d2), str(out_ours))
+
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_ours))
+    assert len(names) == 2
+    for name in names:
+        for (f1, e1, m1), (f2, e2, m2) in zip(
+                load_pickle(str(out_ref / name)),
+                load_pickle(str(out_ours / name))):
+            assert f1 == f2
+            assert e1.shape == ((3, 12) if two_dim else (12,))
+            np.testing.assert_array_equal(e2, e1)
+            assert m1 == m2
