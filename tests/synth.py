@@ -61,3 +61,50 @@ def make_synth_emb_videos(num_videos=3, num_frames=40, emb_dim=16,
                          {'kp_score': score, 'is_mean': False}))
         videos['video{}'.format(v)] = embs
     return videos
+
+
+def stub_torchvision_transforms():
+    """torchvision.transforms stub so the reference's vpd_dataset modules
+    import (they want torchvision at module scope).
+
+    Only Normalize is ever *called* on the deterministic paths the oracle
+    tests exercise; it is implemented with the documented torch semantics
+    ((x - mean[:, None, None]) / std). ColorJitter / RandomResizedCrop /
+    Compose are constructed but never invoked, so they are inert. Extends
+    test_reference_oracle.py's torchvision.models stub when present so
+    collection order between the oracle files doesn't matter.
+    """
+    import sys
+    import types
+
+    import torch
+
+    tv = sys.modules.get('torchvision')
+    if tv is None:
+        tv = types.ModuleType('torchvision')
+        sys.modules['torchvision'] = tv
+    if 'torchvision.transforms' in sys.modules:
+        return
+    tr = types.ModuleType('torchvision.transforms')
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    class _Inert:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):  # pragma: no cover - never reached
+            raise NotImplementedError('inert torchvision stub called')
+
+    tr.Normalize = Normalize
+    tr.ColorJitter = _Inert
+    tr.RandomResizedCrop = _Inert
+    tr.Compose = _Inert
+    tv.transforms = tr
+    sys.modules['torchvision.transforms'] = tr

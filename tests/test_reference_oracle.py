@@ -41,14 +41,19 @@ if REF not in sys.path:
 
 
 def _stub_torchvision():
-    if 'torchvision' in sys.modules:
+    # test_reference_oracle_tools.py installs a torchvision.transforms
+    # stub; extend that module instead of bailing so collection order
+    # between the two files doesn't matter.
+    tv = sys.modules.get('torchvision')
+    if tv is not None and getattr(tv, 'models', None) is not None:
         return
 
     class _AnyAttr(types.ModuleType):
         def __getattr__(self, name):
             return None
 
-    tv = types.ModuleType('torchvision')
+    if tv is None:
+        tv = types.ModuleType('torchvision')
     tvm = _AnyAttr('torchvision.models')
     tvr = types.ModuleType('torchvision.models.resnet')
 
@@ -1424,3 +1429,115 @@ def test_run_action_retrieval_oracle(monkeypatch, capsys):
         got_prec = [round(precs[h], 2) for h in hit_t]
         np.testing.assert_allclose(got_hit, want_hit, atol=5e-3)
         np.testing.assert_allclose(got_prec, want_prec, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# train_vpd_model.py: the real ModelTrainer.epoch distillation loss
+# ---------------------------------------------------------------------------
+
+def test_vpd_epoch_loss_oracle(tmp_path):
+    """The reference's actual ModelTrainer.epoch (train_vpd_model.py:67-98
+    — eval-mode distillation MSE-sum / n with the motion FCNet chained
+    after the encoder) vs our make_eval_step epoch accumulation, with
+    weights transplanted and both sides assembling inputs from the same
+    PNG crops through their own eval paths."""
+    _install_resnet_factories()
+    from synth import stub_torchvision_transforms
+    stub_torchvision_transforms()
+    cv2 = pytest.importorskip('cv2')
+    pytest.importorskip('sklearn')
+    import train_vpd_model as ref_tool
+    from vpd_dataset.common import RGB_MEAN_STD as REF_MEAN_STD
+    from vpd_dataset.single_frame import FrameDataset
+
+    import jax
+    import jax.numpy as jnp
+    from vpd_tpu.data.augment import RGB_MEAN_STD
+    from vpd_tpu.models import build_encoder
+    from vpd_tpu.models.torch_compat import (_dense,
+                                             convert_resnet_state_dict)
+    from vpd_tpu.train.vpd import (MotionHead, VPDStudent, VPDTrainState,
+                                   make_eval_step)
+
+    emb_dim, dim, B, n_batches = 8, 32, 2, 3
+    torch.manual_seed(21)
+    encoder = ref_tool.RGBF_EmbeddingModel(
+        'resnet18', emb_dim, use_flow=True, device='cpu')
+    gen = torch.Generator().manual_seed(22)
+    for m in encoder.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(
+                    m.running_mean.shape, generator=gen) * .05)
+                m.running_var.copy_(torch.rand(
+                    m.running_var.shape, generator=gen) + .5)
+    trainer = ref_tool.ModelTrainer(encoder, motion=True)
+
+    # ---- transplant: surgered 5ch encoder + motion FCNet -> flax trees
+    sd = {k: v.detach().numpy()
+          for k, v in encoder.resnet.state_dict().items()}
+    enc_params, enc_stats = convert_resnet_state_dict(sd, 'resnet18')
+    linears = [m for m in trainer.fcn_time.layers
+               if isinstance(m, torch.nn.Linear)]
+    assert len(linears) == 3  # emb -> 128 -> 128 -> 2*emb
+    motion_params = {'FCNet_0': {
+        'Dense_{}'.format(i): {'kernel': _dense(l.weight.detach().numpy()),
+                               'bias': l.bias.detach().numpy()}
+        for i, l in enumerate(linears)}}
+
+    model = VPDStudent(
+        encoder=build_encoder('resnet18', emb_dim, dtype=jnp.float32),
+        motion=MotionHead(emb_dim))
+    template = model.init(jax.random.key(0),
+                          jnp.zeros((1, dim, dim, 5), jnp.float32),
+                          train=False)
+    params = {'encoder': enc_params, 'motion': motion_params}
+    jax.tree_util.tree_map(  # same treedef or the transplant is wrong
+        lambda a, b: None, dict(template['params']), params)
+    state = VPDTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={'encoder': enc_stats}, opt_state=None, tx=None)
+
+    # ---- shared corpus: PNG crops + flow, teacher targets
+    rng = np.random.default_rng(23)
+    tasks = []
+    for i in range(n_batches * B):
+        rgb = rng.integers(0, 255, (dim, dim, 3), dtype=np.uint8)
+        flow = rng.integers(0, 255, (dim, dim, 3), dtype=np.uint8)
+        prefix = str(tmp_path / 'v_{:06d}'.format(i))
+        cv2.imwrite(prefix + '.png', cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(prefix + '.flow.png', flow)
+        tasks.append(('v', i, prefix))
+    targets = rng.normal(0, 1, (n_batches * B, 2 * emb_dim)) \
+        .astype(np.float32)
+
+    ds = FrameDataset(tasks, dim, REF_MEAN_STD['tennis'],
+                      augment_jitter=0, augment_flip=False,
+                      flow_img_name='flow')
+    ref_batches = []
+    for b in range(n_batches):
+        imgs = torch.cat([ds[b * B + j]['img'] for j in range(B)])
+        ref_batches.append(
+            {'img': imgs,
+             'emb': torch.from_numpy(targets[b * B:(b + 1) * B])})
+    ref_loss = trainer.epoch(ref_batches)  # optimizer=None -> eval
+
+    mean, std = RGB_MEAN_STD['tennis']
+    step = make_eval_step(model, mean, std, use_flow=True)
+    total = n = 0.0
+    for b in range(n_batches):
+        rgbs = np.stack([cv2.cvtColor(
+            cv2.imread(tasks[b * B + j][2] + '.png'), cv2.COLOR_BGR2RGB)
+            for j in range(B)])
+        flows = np.stack([cv2.imread(tasks[b * B + j][2] + '.flow.png')
+                          for j in range(B)])
+        metrics = step(state, {'rgb': jnp.asarray(rgbs),
+                               'flow': jnp.asarray(flows),
+                               'emb': jnp.asarray(
+                                   targets[b * B:(b + 1) * B])})
+        total += float(metrics['emb_loss_sum'])
+        n += float(metrics['n'])
+    our_loss = total / n
+
+    assert abs(our_loss - ref_loss) / abs(ref_loss) < 1e-3, \
+        (our_loss, ref_loss)

@@ -299,49 +299,7 @@ def test_dummy_2d_features_oracle(tmp_path, no_flip, nested):
 # vpd_dataset/single_frame.py FrameDataset (extraction input assembly)
 # ---------------------------------------------------------------------------
 
-def _stub_torchvision_transforms():
-    """single_frame.py imports torchvision.transforms at module scope.
-
-    FrameDataset's deterministic path only *calls* Normalize; ColorJitter
-    / RandomResizedCrop / Compose are constructed but never invoked with
-    augment_jitter=0, so they can be inert. Normalize is implemented with
-    the documented torch semantics ((x - mean[:,None,None]) / std) — the
-    RGB_MEAN_STD constants themselves are oracled in
-    test_reference_oracle.py; everything downstream of the stub
-    (/255, permute, flow decode, flip, variant order) is real reference
-    code.
-    """
-    import types
-
-    import torch
-
-    if 'torchvision' in sys.modules:
-        return
-    tv = types.ModuleType('torchvision')
-    tr = types.ModuleType('torchvision.transforms')
-
-    class Normalize:
-        def __init__(self, mean, std, inplace=False):
-            self.mean = torch.tensor(mean).view(-1, 1, 1)
-            self.std = torch.tensor(std).view(-1, 1, 1)
-
-        def __call__(self, x):
-            return (x - self.mean) / self.std
-
-    class _Inert:
-        def __init__(self, *a, **k):
-            pass
-
-        def __call__(self, *a, **k):  # pragma: no cover - never reached
-            raise NotImplementedError('inert torchvision stub called')
-
-    tr.Normalize = Normalize
-    tr.ColorJitter = _Inert
-    tr.RandomResizedCrop = _Inert
-    tr.Compose = _Inert
-    tv.transforms = tr
-    sys.modules['torchvision'] = tv
-    sys.modules['torchvision.transforms'] = tr
+from synth import stub_torchvision_transforms as _stub_torchvision_transforms  # noqa: E402
 
 
 @pytest.mark.parametrize('use_flow', [False, True])
