@@ -649,6 +649,17 @@ def _install_resnet_factories():
     tvm.resnet18 = factory([2, 2, 2, 2], 'BasicBlock')
     tvm.resnet34 = factory([3, 4, 6, 3], 'BasicBlock')
     tvm.resnet50 = factory([3, 4, 6, 3], 'Bottleneck')
+    # models.module.ENCODER_ARCH captures torchvision.models.resnetNN at
+    # ITS import; if another oracle test imported it before the factories
+    # existed (the _AnyAttr stub returns None), repair the captured
+    # pretrained_init so RGBF_EmbeddingModel can build backbones.
+    mm = sys.modules.get('models.module')
+    if mm is not None:
+        for arch in ('resnet18', 'resnet34', 'resnet50'):
+            cfg = mm.ENCODER_ARCH.get(arch)
+            if cfg is not None and cfg.pretrained_init is None:
+                mm.ENCODER_ARCH[arch] = cfg._replace(
+                    pretrained_init=getattr(tvm, arch))
     if 'efficientnet_pytorch' not in sys.modules:
         ep = types.ModuleType('efficientnet_pytorch')
         ep.EfficientNet = None
