@@ -19,3 +19,11 @@ Layer map:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache for every entry point (CLIs, bench,
+# driver contracts, tests): cold compiles through the TPU relay run
+# minutes, cache hits deserialize in seconds. VPD_JAX_CACHE=0 disables;
+# see core/compile_cache.py for the measurements and controls.
+from .core import compile_cache as _compile_cache  # noqa: E402
+
+_compile_cache.enable()
