@@ -24,6 +24,11 @@ equality:
     reference code).
   * `stack_features.py:20-43` end to end: identical stacked `.emb.pkl`
     payloads incl. the dp_score-over-kp_score min-score meta rule.
+  * `util/eval.py:5-23` save_confusion_matrix: byte-identical rendered
+    PNGs (label ordering, normalization x100, formatting).
+  * `recut_fs_video.py` / `recut_finegym_video.py`: segment CSV parsing
+    and per-clip frame boundaries (int vs floor/ceil), event filtering,
+    .mkv fallback, output naming — ffmpeg cut recorded, not executed.
 """
 
 import os
@@ -403,3 +408,119 @@ def test_stack_features_oracle(tmp_path, two_dim):
             assert e1.shape == ((3, 12) if two_dim else (12,))
             np.testing.assert_array_equal(e2, e1)
             assert m1 == m2
+
+
+# ---------------------------------------------------------------------------
+# util/eval.py save_confusion_matrix
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('norm', [None, 'true'])
+def test_save_confusion_matrix_oracle(tmp_path, norm):
+    mpl = pytest.importorskip('matplotlib')
+    mpl.use('Agg')
+    pytest.importorskip('sklearn')
+    from util.eval import save_confusion_matrix as ref_save
+
+    from vpd_tpu.tasks.eval import save_confusion_matrix
+
+    rng = np.random.default_rng(17)
+    classes = ['serve', 'volley', 'lob', 'smash']
+    truth = [classes[i] for i in rng.integers(0, 4, 60)]
+    pred = [classes[i] for i in rng.integers(0, 4, 60)]
+    # PNG (not PDF): matplotlib PDFs embed a creation timestamp
+    ref_png = tmp_path / 'ref.png'
+    our_png = tmp_path / 'ours.png'
+    ref_save(truth, pred, str(ref_png), norm=norm)
+    save_confusion_matrix(truth, pred, str(our_png), norm=norm)
+    assert our_png.read_bytes() == ref_png.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# recut tools: segment parsing + frame-boundary computation
+# ---------------------------------------------------------------------------
+
+def test_recut_fs_oracle(tmp_path, monkeypatch):
+    import recut_fs_video as ref_tool
+
+    from vpd_tpu.tools import recut_fs_video as our_tool
+
+    # parse_duration + load_segments on a synthetic segments.csv
+    csv_file = tmp_path / 'segments.csv'
+    csv_file.write_text(
+        'video,start,end\n'
+        'v_a,00:01:30,00:04:05\n'
+        'v_a,01:00:00,01:02:59\n'
+        'v_b,00:00:07,00:00:31\n')
+    ref_segs = ref_tool.load_segments(str(csv_file))
+    our_segs = our_tool.load_segments(str(csv_file))
+    assert dict(ref_segs) == dict(our_segs)
+    assert ref_segs['v_a'] == [(90, 245), (3600, 3779)]
+
+    # recut_single frame boundaries + output naming on a real mp4,
+    # with the ffmpeg cut recorded instead of executed
+    rng = np.random.default_rng(19)
+    video = tmp_path / 'match01.mp4'
+    _write_video(video, [rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+                         for _ in range(50)], 12.0)
+    ref_cuts, our_cuts = [], []
+
+    def record(sink):
+        def fake_cut(video_file, meta, out_file, start, end):
+            sink.append((os.path.basename(out_file), start, end,
+                         round(meta.fps, 4)))
+        return fake_cut
+
+    monkeypatch.setattr(ref_tool, 'cut_segment', record(ref_cuts))
+    monkeypatch.setattr(our_tool, 'cut_segment', record(our_cuts))
+    segs = [(2, 3), (0, 1)]
+    ref_tool.recut_single(str(video), segs, str(tmp_path))
+    our_tool.recut_single(str(video), segs, str(tmp_path))
+    assert ref_cuts == our_cuts
+    assert len(ref_cuts) == 2 and ref_cuts[0][1] == 24  # int(2 * 12fps)
+
+
+def test_recut_finegym_oracle(tmp_path, monkeypatch):
+    import recut_finegym_video as ref_tool
+
+    from vpd_tpu.core.io import store_json
+    from vpd_tpu.tools import recut_finegym_video as our_tool
+
+    assert ref_tool.EVENT_TYPES == our_tool.EVENT_TYPES
+
+    rng = np.random.default_rng(23)
+    frames = [rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+              for _ in range(60)]
+    _write_video(tmp_path / 'vidA.mp4', frames, 10.0)
+    _write_video(tmp_path / 'vidB.mkv', frames, 10.0)  # .mkv fallback
+
+    ann = {
+        'vidA': {
+            'E_001': {'event': 2, 'timestamps': [[0.54, 2.21]]},
+            'E_002': {'event': 3, 'timestamps': [[1.0, 2.0]]},  # filtered
+        },
+        'vidB': {
+            'E_003': {'event': 2, 'timestamps': [[0.0, 4.99]]},
+        },
+    }
+    ann_file = tmp_path / 'ann.json'
+    store_json(str(ann_file), ann)
+    monkeypatch.setattr(ref_tool, 'ANNOTATION_FILE', str(ann_file))
+    monkeypatch.setattr(our_tool, 'ANNOTATION_FILE', str(ann_file))
+
+    ref_cuts, our_cuts = [], []
+
+    def record(sink):
+        def fake_cut(video_file, meta, out_file, start, end):
+            sink.append((os.path.basename(video_file),
+                         os.path.basename(out_file), start, end))
+        return fake_cut
+
+    monkeypatch.setattr(ref_tool, 'cut_segment', record(ref_cuts))
+    monkeypatch.setattr(our_tool, 'cut_segment', record(our_cuts))
+    ref_tool.main(str(tmp_path), 'female_FX', str(tmp_path / 'ref_out'))
+    our_tool.main(str(tmp_path), 'female_FX', str(tmp_path / 'our_out'))
+    assert ref_cuts == our_cuts
+    # floor/ceil frame boundaries at 10 fps
+    assert ('vidA.mp4', 'vidA_E_001.mp4', 5, 23) in ref_cuts
+    assert ('vidB.mkv', 'vidB_E_003.mp4', 0, 50) in ref_cuts
+    assert not any(n == 'vidA_E_002.mp4' for _, n, _s, _e in ref_cuts)
