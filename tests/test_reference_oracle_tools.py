@@ -29,6 +29,9 @@ equality:
   * `recut_fs_video.py` / `recut_finegym_video.py`: segment CSV parsing
     and per-clip frame boundaries (int vs floor/ceil), event filtering,
     .mkv fallback, output naming — ffmpeg cut recorded, not executed.
+  * `view_2d_pose.py:22-36` draw_keypoints: identical rendered overlays.
+  * `plot_losses.py:20-47` smooth / collect_dataset_losses / best-epoch
+    print protocol.
 """
 
 import os
@@ -524,3 +527,67 @@ def test_recut_finegym_oracle(tmp_path, monkeypatch):
     assert ('vidA.mp4', 'vidA_E_001.mp4', 5, 23) in ref_cuts
     assert ('vidB.mkv', 'vidB_E_003.mp4', 0, 50) in ref_cuts
     assert not any(n == 'vidA_E_002.mp4' for _, n, _s, _e in ref_cuts)
+
+
+# ---------------------------------------------------------------------------
+# view_2d_pose.py draw_keypoints + plot_losses.py helpers
+# ---------------------------------------------------------------------------
+
+def test_draw_keypoints_oracle():
+    from PIL import Image
+    import view_2d_pose as ref_tool
+
+    from vpd_tpu.tools import view_2d_pose as our_tool
+
+    assert tuple(ref_tool.coco_bones) == tuple(our_tool.COCO_BONES)
+    rng = np.random.default_rng(29)
+    base = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+    poses = []
+    for _ in range(2):
+        kp = rng.uniform(0, 80, (17, 3)).tolist()
+        poses.append([0.9, None, kp])  # (score, meta, keypoints) rows
+
+    im_ref = Image.fromarray(base.copy())
+    ref_tool.draw_keypoints(im_ref, poses)
+    im_ours = Image.fromarray(base.copy())
+    our_tool.draw_keypoints(im_ours, poses)
+    np.testing.assert_array_equal(np.array(im_ours), np.array(im_ref))
+
+
+def test_plot_losses_helpers_oracle(tmp_path, capsys):
+    mpl = pytest.importorskip('matplotlib')
+    mpl.use('Agg')
+    import plot_losses as ref_tool
+
+    from vpd_tpu.core.io import store_json
+    from vpd_tpu.tools import plot_losses as our_tool
+
+    rng = np.random.default_rng(31)
+    xs = rng.normal(5, 1, 40).tolist()
+    for w in (1, 3, 5, 9):
+        np.testing.assert_allclose(our_tool.smooth(xs, w),
+                                   ref_tool.smooth(xs, w), rtol=1e-12)
+
+    losses = []
+    for e in range(12):
+        losses.append({
+            'epoch': e, 'train': float(rng.uniform(1, 3)),
+            'val': float(rng.uniform(1, 3)),
+            'dataset_train': [['h36m', float(rng.uniform(1, 3))],
+                              ['amass', float(rng.uniform(1, 3))]],
+            'dataset_val': [['h36m', float(rng.uniform(1, 3))]],
+        })
+    ref_c = ref_tool.collect_dataset_losses(losses, 'dataset_train')
+    our_c = our_tool.collect_dataset_losses(losses, 'dataset_train')
+    assert dict(ref_c) == dict(our_c)
+
+    # best-epoch selection protocol: identical printed verdicts on the
+    # same loss.json (drive only ours end to end; the reference main
+    # ends in an interactive plt.show timer loop)
+    store_json(str(tmp_path / 'loss.json'), losses)
+    our_tool.main(str(tmp_path), None, str(tmp_path / 'out.png'))
+    out = capsys.readouterr().out
+    best = min(losses, key=lambda l: l['val'])
+    assert 'Best epoch: {}'.format(best['epoch']) in out
+    assert 'Best val loss: {}'.format(best['val']) in out
+    assert (tmp_path / 'out.png').stat().st_size > 0
