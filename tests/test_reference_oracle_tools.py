@@ -32,6 +32,9 @@ equality:
   * `view_2d_pose.py:22-36` draw_keypoints: identical rendered overlays.
   * `plot_losses.py:20-47` smooth / collect_dataset_losses / best-epoch
     print protocol.
+  * `util/video.py` get_metadata / decode_frame on a real mp4, and the
+    exact ffmpeg argv built by cut_segment / cut_frames (seek-second
+    '{}.{}' ms quirk, codec flags, scale-pad filter) — recorded, not run.
 """
 
 import os
@@ -591,3 +594,51 @@ def test_plot_losses_helpers_oracle(tmp_path, capsys):
     assert 'Best epoch: {}'.format(best['epoch']) in out
     assert 'Best val loss: {}'.format(best['val']) in out
     assert (tmp_path / 'out.png').stat().st_size > 0
+
+
+# ---------------------------------------------------------------------------
+# util/video.py: metadata probe + ffmpeg command construction
+# ---------------------------------------------------------------------------
+
+def test_video_metadata_and_ffmpeg_cmd_oracle(tmp_path, monkeypatch):
+    import util.video as ref_video
+
+    from vpd_tpu.utils import video as our_video
+
+    rng = np.random.default_rng(37)
+    video = tmp_path / 'clip.mp4'
+    _write_video(video, [rng.integers(0, 255, (36, 52, 3), dtype=np.uint8)
+                         for _ in range(21)], 13.0)
+
+    ref_meta = ref_video.get_metadata(str(video))
+    our_meta = our_video.get_metadata(str(video))
+    assert (our_meta.fps, our_meta.num_frames, our_meta.width,
+            our_meta.height) == (ref_meta.fps, ref_meta.num_frames,
+                                 ref_meta.width, ref_meta.height)
+
+    frame_ref = ref_video.decode_frame(str(video), 7)
+    frame_ours = our_video.decode_frame(str(video), 7)
+    np.testing.assert_array_equal(frame_ours, frame_ref)
+
+    # ffmpeg argv parity (seek-second formatting incl. the '{}.{}' ms
+    # quirk, codec flags, scale/pad filter) — commands recorded, not run
+    ref_cmds, our_cmds = [], []
+    monkeypatch.setattr(ref_video, 'check_call',
+                        lambda cmd: ref_cmds.append(list(cmd)))
+    monkeypatch.setattr(our_video, 'check_call',
+                        lambda cmd: our_cmds.append(list(cmd)))
+    for start, end in [(0, 10), (7, 21), (13, 14)]:
+        ref_video.cut_segment(str(video), ref_meta, str(tmp_path / 'o.mp4'),
+                              start, end)
+        our_video.cut_segment(str(video), our_meta, str(tmp_path / 'o.mp4'),
+                              start, end, log=lambda *_: None)
+    d_ref = tmp_path / 'fr_ref'
+    d_our = tmp_path / 'fr_our'
+    ref_video.cut_frames(str(video), ref_meta, str(d_ref), 3, 17)
+    our_video.cut_frames(str(video), our_meta, str(d_our), 3, 17,
+                         log=lambda *_: None)
+    norm = [[a.replace(str(d_ref), '<out>') for a in cmd]
+            for cmd in ref_cmds]
+    ours_norm = [[a.replace(str(d_our), '<out>') for a in cmd]
+                 for cmd in our_cmds]
+    assert ours_norm == norm
