@@ -35,6 +35,10 @@ equality:
   * `util/video.py` get_metadata / decode_frame on a real mp4, and the
     exact ffmpeg argv built by cut_segment / cut_frames (seek-second
     '{}.{}' ms quirk, codec flags, scale-pad filter) — recorded, not run.
+  * `apply_vipe_model.py:73-129` VideoDataset: teacher-extraction input
+    assembly (flat/nested discovery, min_score filter, y-inversion,
+    flip-row duplication) incl. the normalized pose tensors vs our
+    on-device batch normalization.
 """
 
 import os
@@ -642,3 +646,89 @@ def test_video_metadata_and_ffmpeg_cmd_oracle(tmp_path, monkeypatch):
     ours_norm = [[a.replace(str(d_our), '<out>') for a in cmd]
                  for cmd in our_cmds]
     assert ours_norm == norm
+
+
+def _stub_torchvision_models_minimal():
+    """models.module imports torchvision.models block classes at module
+    scope; PoseDataset never instantiates them, so name-only stubs
+    suffice. No-op when test_reference_oracle.py's full factory stub is
+    already installed (any multi-file pytest run: that stub installs at
+    module import, before tests execute)."""
+    import types
+
+    tv = sys.modules['torchvision']
+    if getattr(tv, 'models', None) is not None:
+        return
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):  # ENCODER_ARCH factory refs
+            return None
+
+    tvm = _AnyAttr('torchvision.models')
+    tvr = types.ModuleType('torchvision.models.resnet')
+    tvr.BasicBlock = tvr.Bottleneck = tvr.conv1x1 = None
+    tvm.resnet = tvr
+    tv.models = tvm
+    sys.modules['torchvision.models'] = tvm
+    sys.modules['torchvision.models.resnet'] = tvr
+
+
+# ---------------------------------------------------------------------------
+# apply_vipe_model.py PoseDataset (teacher-extraction input assembly)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('flip,invert,bones', [
+    (True, False, False), (False, True, True)])
+def test_apply_vipe_pose_dataset_oracle(tmp_path, flip, invert, bones):
+    """`apply_vipe_model.py:73-129` PoseDataset vs our
+    collect_video_poses + on-device normalization: flat/nested pose-dir
+    discovery, min_score filter, y-inversion, per-row flip duplication,
+    and the normalized pose tensors themselves."""
+    torch = pytest.importorskip('torch')
+    _stub_torchvision_transforms()
+    _stub_torchvision_models_minimal()
+    import apply_vipe_model as ref_tool
+
+    import jax.numpy as jnp
+    from vpd_tpu.core.io import store_gz_json
+    from vpd_tpu.geometry.coco import normalize_2d_skeleton_batch
+    from vpd_tpu.infer.apply_vipe import (collect_video_poses,
+                                          iter_pose_videos)
+
+    rng = np.random.default_rng(41)
+    pose_dir = tmp_path / 'poses'
+    pose_dir.mkdir()
+
+    def rows():
+        out = []
+        for f in range(0, 8, 2):
+            dets = []
+            for score in (0.3, 0.7, 0.95):  # straddles min_score=0.5
+                kp = rng.normal(250, 60, (17, 3))
+                kp[:, 2] = rng.uniform(0.2, 1, 17)
+                dets.append([score, None, kp.tolist()])
+            out.append([f, dets])
+        return out
+
+    store_gz_json(str(pose_dir / 'flatvid.json.gz'), rows())
+    nested = pose_dir / 'nestvid'
+    nested.mkdir()
+    store_gz_json(str(nested / 'coco_keypoints.json.gz'), rows())
+
+    ds = ref_tool.VideoDataset(str(pose_dir), bones, 0.5, flip, invert)
+    ours = {name: collect_video_poses(
+        path, min_score=0.5, augment_flip=flip, invert=invert)
+        for name, path in iter_pose_videos(str(pose_dir))}
+    assert sorted(ours) == sorted(ds.videos[i][0] for i in range(len(ds)))
+
+    for i in range(len(ds)):
+        item = ds[i]
+        frames, scores, is_flip, kps = ours[item['video']]
+        np.testing.assert_array_equal(frames, item['frame'])
+        np.testing.assert_allclose(scores, item['score'], rtol=1e-6)
+        np.testing.assert_array_equal(is_flip, item['is_flip'])
+        normed = np.asarray(normalize_2d_skeleton_batch(
+            jnp.asarray(kps), jnp.asarray(is_flip),
+            include_bone_features=bones))
+        np.testing.assert_allclose(normed, item['pose'].numpy(),
+                                   rtol=2e-4, atol=2e-5)
