@@ -73,3 +73,42 @@ def test_atomic_write_crash_safety(tmp_path):
     np.testing.assert_array_equal(loaded['w'], tree['w'])
     # no temp residue after successful writes
     assert not [f for f in tmp_path.iterdir() if f.name.endswith('.tmp')]
+
+
+def test_store_gz_json_header_names_final_file(tmp_path):
+    """The atomic temp-file write must not leak '.tmp' into the gzip
+    FNAME header — headers match a direct gzip.open(path) write."""
+    import gzip
+    import json
+
+    from vpd_tpu.core.io import load_gz_json, store_gz_json
+
+    path = tmp_path / 'scores.json.gz'
+    store_gz_json(str(path), {'k': [1, 2]})
+    raw = path.read_bytes()
+    assert b'.tmp' not in raw
+    assert b'scores.json' in raw  # FNAME = basename minus '.gz'
+    assert load_gz_json(str(path)) == {'k': [1, 2]}
+    # same header layout as a direct (non-atomic) write
+    direct = tmp_path / 'direct.json.gz'
+    with gzip.open(str(direct), 'wt', encoding='ascii') as fp:
+        json.dump({'k': [1, 2]}, fp)
+    dr = direct.read_bytes()
+    # same-length FNAMEs ('scores.json'/'direct.json') => same total size
+    assert b'direct.json' in dr and len(dr) == len(raw)
+
+
+def test_checkpoint_ignores_leftover_tmp(tmp_path):
+    """A crash mid-write leaves 'epochNNNN.*.ckpt.tmp'; resume must not
+    count it as a checkpoint (fullmatch, not prefix match)."""
+    import numpy as np
+
+    from vpd_tpu.core import checkpoint as ckpt
+
+    tree = {'w': np.ones((2, 2), np.float32)}
+    ckpt.save_bundle(str(tmp_path), 'epoch0003', {'encoder': tree})
+    (tmp_path / 'epoch0007.encoder.ckpt.tmp').write_bytes(b'partial')
+    assert ckpt.last_checkpoint_epoch(str(tmp_path)) == 3
+    loaded = ckpt.load_component(str(tmp_path), 'epoch0003', 'encoder',
+                                 {'w': np.zeros((2, 2), np.float32)})
+    np.testing.assert_array_equal(loaded['w'], tree['w'])

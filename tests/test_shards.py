@@ -330,3 +330,62 @@ def test_hbm_cache_sharded_rejects_tiny_corpus(tmp_path):
                             log=lambda *a: None)
     with pytest.raises(AssertionError, match='too small to row-shard'):
         CacheIndexSource(samples, crop_dir, IMG, 8, cache=cache)
+
+
+def test_cache_source_meta_validation(tmp_path):
+    """CacheIndexSource enforces the same shard-meta contract as the
+    streamed path (img_dim / flow variant / mask presence) — mismatched
+    shards must fail loudly, not train on wrong pixels."""
+    from vpd_tpu.data.hbm_cache import CacheIndexSource, DeviceCropCache
+
+    samples, _, crop_dir = setup_dataset(tmp_path)  # no masks
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, use_mask=False,
+               log=lambda *a: None)
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    cache = DeviceCropCache(reader, use_mask=False, log=lambda *a: None)
+    with pytest.raises(AssertionError, match='img_dim'):
+        CacheIndexSource(samples, crop_dir, IMG * 2, 8, cache=cache,
+                         use_mask=False)
+    with pytest.raises(AssertionError, match='mask'):
+        CacheIndexSource(samples, crop_dir, IMG, 8, cache=cache)
+    with pytest.raises(AssertionError, match='flow'):
+        CacheIndexSource(samples, crop_dir, IMG, 8, cache=cache,
+                         use_mask=False, flow_img_name='flow')
+
+
+def test_cached_step_respects_source_use_mask(tmp_path):
+    """Masks present in the shards but use_mask=False at the source:
+    the cached trainer must not apply mask augmentation (the
+    streamed-vs-cached equality contract keys off the SOURCE config,
+    not off what the cache happens to hold)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpd_tpu.core.mesh import get_mesh
+    from vpd_tpu.data.hbm_cache import CacheIndexSource, DeviceCropCache
+    from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path, mask=True)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, log=lambda *a: None)  # masks in
+    train, _ = train_val_split(samples)
+    cfg = default_config('tennis', emb_dim, num_epochs=1, batch_size=8,
+                         img_dim=IMG, encoder_arch='resnet18',
+                         learning_rate=1e-3)
+    mesh = get_mesh(jax.devices()[:1])
+
+    src_s = CropBatchSource(train, crop_dir, IMG, 8, target_len=16,
+                            use_mask=False, seed=3, shard_dir=shard_dir)
+    t_s = VPDTrainer(src_s, None, cfg, mesh=mesh, dtype=jnp.float32,
+                     seed=0)
+    loss_s = t_s.train_one_epoch(1)[0]
+
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    cache = DeviceCropCache(reader, log=lambda *a: None)  # masks staged
+    src_c = CacheIndexSource(train, crop_dir, IMG, 8, target_len=16,
+                             use_mask=False, seed=3, cache=cache)
+    t_c = VPDTrainer(src_c, None, cfg, mesh=mesh, dtype=jnp.float32,
+                     seed=0)
+    loss_c = t_c.train_one_epoch(1)[0]
+    np.testing.assert_allclose(loss_c, loss_s, rtol=1e-5)

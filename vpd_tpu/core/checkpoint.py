@@ -14,6 +14,7 @@ import jax
 import numpy as np
 from flax import serialization
 
+from .io import _replace_into
 
 
 def _to_host(tree):
@@ -27,12 +28,8 @@ def save_component(save_dir, name, component, tree):
     best_epoch) used to be — resume and apply always see either the old
     complete file or the new complete file."""
     path = os.path.join(save_dir, '{}.{}.ckpt'.format(name, component))
-    tmp = path + '.tmp'
-    with open(tmp, 'wb') as fp:
-        fp.write(serialization.to_bytes(_to_host(tree)))
-        fp.flush()
-        os.fsync(fp.fileno())
-    os.replace(tmp, path)
+    data = serialization.to_bytes(_to_host(tree))
+    _replace_into(path, lambda fp: fp.write(data), 'wb', fsync=True)
     return path
 
 
@@ -57,9 +54,11 @@ def load_bundle(save_dir, name, targets):
 def last_checkpoint_epoch(save_dir, component='encoder'):
     """Largest epoch N with an epoch%04d.{component}.ckpt present, or -1."""
     last = -1
-    pattern = re.compile(r'epoch(\d+)\.' + component + r'\.ckpt')
+    # fullmatch: a leftover 'epochNNNN.*.ckpt.tmp' from an interrupted
+    # write must not count as a resumable checkpoint
+    pattern = re.compile(r'epoch(\d+)\.' + re.escape(component) + r'\.ckpt')
     for fname in os.listdir(save_dir):
-        m = pattern.match(fname)
+        m = pattern.fullmatch(fname)
         if m:
             last = max(last, int(m.group(1)))
     return last

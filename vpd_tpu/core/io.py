@@ -29,7 +29,7 @@ def load_gz_json(fpath):
         return json.load(fp)
 
 
-def _replace_into(fpath, write_fn, mode):
+def _replace_into(fpath, write_fn, mode, fsync=False):
     """Write via a same-directory temp file + os.replace: a crash or
     preemption mid-write never leaves a truncated file where a complete
     one belongs (matters for .emb.pkl outputs of hours-long extractions
@@ -39,6 +39,9 @@ def _replace_into(fpath, write_fn, mode):
     try:
         with open(tmp, mode) as fp:
             write_fn(fp)
+            if fsync:
+                fp.flush()
+                os.fsync(fp.fileno())
     except BaseException:
         try:
             os.unlink(tmp)  # drop the partial temp; keep the old file
@@ -54,10 +57,14 @@ def store_json(fpath, obj):
 
 def store_gz_json(fpath, obj):
     def write(fp):
-        # gzip over the raw fp (not the tmp path) so the gzip header
-        # never embeds the ".tmp" filename
-        with gzip.open(fp, 'wt', encoding='ascii') as gz:
-            json.dump(obj, gz)
+        # GzipFile with an explicit filename= embeds basename(fpath)
+        # minus '.gz' in the FNAME header — identical to a direct
+        # gzip.open(fpath) write. (gzip.open(fp) would fall back to
+        # fp.name and leak the '.tmp' temp name into the header.)
+        import io as _stdio
+        with gzip.GzipFile(filename=fpath, fileobj=fp, mode='wb') as gz:
+            with _stdio.TextIOWrapper(gz, encoding='ascii') as txt:
+                json.dump(obj, txt)
     _replace_into(fpath, write, 'wb')
 
 

@@ -22,9 +22,13 @@ Multi-chip placement (``mesh``) comes in two layouts:
   over the 'data' axis, so the mesh's POOLED HBM bounds corpus size
   (8 chips x 16 GB holds a ~128 GB corpus). Each chip gathers only
   rows it homes (a shard_map local gather, still no collectives); the
-  sampler draws each chip's sub-batch from that chip's resident rows,
-  which changes the sample stream (each chip samples its partition,
-  standard data-parallel loading) but not its distribution.
+  sampler draws each chip's sub-batch uniformly from that chip's
+  resident rows (standard data-parallel loading). Sampling is uniform
+  WITHIN each chip's partition; globally, samples on chips that home
+  fewer train samples are drawn proportionally more often (by the
+  max/min partition-size ratio — CacheIndexSource warns when the
+  imbalance exceeds 10%). Row-major pack order keeps partitions
+  near-equal for shuffled corpora.
 """
 
 import numpy as np
@@ -113,19 +117,35 @@ class DeviceCropCache:
 
         self.rows_per_device = None
 
-        def put(arr):
-            if mesh is not None and mesh.size > 1:
-                from jax.sharding import NamedSharding, PartitionSpec
-                return jax.device_put(
-                    arr, NamedSharding(mesh, PartitionSpec()))
-            return jax.device_put(arr)
+        sharding = None
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding = NamedSharding(mesh, PartitionSpec())
+        sh_kw = {} if sharding is None else {'out_shardings': sharding}
 
-        # per-shard device_put bounds host peak memory; the concatenate
-        # runs on device
-        self.arrays = {
-            name: jnp.concatenate([put(np.asarray(s)) for s in shards],
-                                  axis=0)
-            for name, shards in streams.items()}
+        def stage(shards):
+            # Incremental donated updates: device peak stays at
+            # corpus + one shard (a jnp.concatenate over device_put
+            # shards would transiently hold 2x the corpus in HBM),
+            # and host peak stays at one shard.
+            shape = (sum(len(s) for s in shards),) + shards[0].shape[1:]
+            out = jax.jit(lambda: jnp.zeros(shape, shards[0].dtype),
+                          **sh_kw)()
+            upd = jax.jit(
+                lambda o, s, p: jax.lax.dynamic_update_slice(
+                    o, s, (p,) + (0,) * (len(shape) - 1)),
+                donate_argnums=0, **sh_kw)
+            pos = 0
+            for s in shards:
+                block = np.asarray(s)
+                if sharding is not None:
+                    block = jax.device_put(block, sharding)
+                out = upd(out, block, np.int32(pos))
+                pos += len(s)
+            return out
+
+        self.arrays = {name: stage(shards)
+                       for name, shards in streams.items()}
 
 
 class CacheIndexSource(CropBatchSource):
@@ -134,9 +154,11 @@ class CacheIndexSource(CropBatchSource):
     stream as CropBatchSource with the same seed (the pixel fetch is
     the only difference), so cached training is batch-for-batch
     identical to the shard/PNG path. Against a row-sharded cache, batch
-    block d (the slice shard_batch sends to device d) is drawn from the
-    samples homed on device d — each chip trains on its resident
-    partition, so gathers stay local.
+    block d (the slice shard_batch sends to device d) is drawn uniformly
+    from the samples homed on device d — each chip trains on its
+    resident partition, so gathers stay local (per-chip-uniform, not
+    globally uniform when partitions are unequal; see the module
+    docstring).
     """
 
     def __init__(self, samples, img_dir, img_dim, batch_size, *,
@@ -144,6 +166,26 @@ class CacheIndexSource(CropBatchSource):
         kwargs.pop('shard_dir', None)
         super().__init__(samples, img_dir, img_dim, batch_size, **kwargs)
         self.device_cache = cache
+        # Enforce the same shard-meta contract as the streamed path
+        # (CropBatchSource/fill_or_decode asserts are bypassed here
+        # because pixels come from the cache, not the reader).
+        meta = cache.reader.meta
+        assert img_dim == meta['img_dim'], \
+            'shards packed at img_dim={}, requested {}'.format(
+                meta['img_dim'], img_dim)
+        if self.flow_img_name:
+            assert meta['flow_img_name'] == self.flow_img_name, \
+                'shards packed with flow "{}", model needs "{}"'.format(
+                    meta['flow_img_name'], self.flow_img_name)
+            assert 'flow' in cache.arrays, \
+                'DeviceCropCache staged without flow (use_flow=False) ' \
+                'but the source needs it'
+        if self.use_mask:
+            assert meta['use_mask'], \
+                'shards packed without masks but use_mask=True'
+            assert 'mask' in cache.arrays, \
+                'DeviceCropCache staged without masks (use_mask=False) ' \
+                'but the source needs them'
         rows = cache.reader.rows(
             [self._prefix(v, p, f) for v, p, f, _ in samples])
         missing = int((rows < 0).sum())
@@ -165,6 +207,15 @@ class CacheIndexSource(CropBatchSource):
                 'no samples homed on device(s) {} — corpus too small ' \
                 'to row-shard over {} chips; use the replicated cache' \
                 .format(empty, n)
+            sizes = [len(g) for g in self._by_device]
+            if max(sizes) > 1.1 * min(sizes):
+                import warnings
+                warnings.warn(
+                    'row-sharded cache partitions are unbalanced '
+                    '({}-{} samples/chip): per-chip-uniform sampling '
+                    'oversamples small partitions by up to {:.2f}x'
+                    .format(min(sizes), max(sizes),
+                            max(sizes) / min(sizes)))
 
     def next_batch(self):
         b = self.batch_size

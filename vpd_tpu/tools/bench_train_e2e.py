@@ -44,6 +44,8 @@ def main():
     args = get_args()
     if args.hbm_cache:
         args.shards = True
+    assert args.epochs >= 2, \
+        '--epochs must be >= 2: epoch 1 compiles, later epochs are timed'
 
     from .bench_extract_e2e import make_corpus
 
@@ -71,7 +73,10 @@ def main():
 
     src_common = dict(target_len=args.batch_size * args.batches_per_epoch,
                       use_mask=False, seed=1)
-    work = tmp or tempfile.mkdtemp(prefix='vpd_bench_train_')
+    # Shards live next to the corpus they were packed from, so a reused
+    # --corpus_dir also reuses its shards across runs instead of
+    # re-transcoding into a fresh (and leaked) temp dir every time.
+    work = args.corpus_dir or tmp
     if args.shards:
         from ..data.shards import ShardReader, pack_crops
 
@@ -133,6 +138,9 @@ def main():
     if stage_s is not None:
         result['cache_stage_s'] = round(stage_s, 2)
     print(json.dumps(result))
+    if tmp is not None:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == '__main__':

@@ -62,8 +62,15 @@ class VPDTrainer:
         cache = getattr(train_source, 'device_cache', None)
         self.cache = cache.arrays if cache is not None else None
         cache_kw = {}
+        # Augmentation inputs follow the SOURCE's configuration: the
+        # streamed step body keys off batch contents, but the cached
+        # step must be told explicitly or it would apply mask noise
+        # whenever the cache happens to hold masks (breaking the
+        # streamed-vs-cached equality contract).
+        use_mask = getattr(train_source, 'use_mask', True)
         if self.cache is not None:
-            assert self.mesh.size == 1 or cache.mesh == self.mesh, \
+            assert (cache.mesh == self.mesh
+                    or (cache.mesh is None and self.mesh.size == 1)), \
                 'multi-device training needs a DeviceCropCache built ' \
                 'with the same mesh (cache replicated per chip)'
             assert not self.config.get('augment_val'), \
@@ -83,15 +90,15 @@ class VPDTrainer:
                       else make_train_step)
         self.train_step = make_train(
             self.model, mean, std, img_dim=img_dim,
-            use_flow=config['use_flow'], aug_dtype=model_dtype,
-            **cache_kw)
+            use_flow=config['use_flow'], use_mask=use_mask,
+            aug_dtype=model_dtype, **cache_kw)
         if self.config.get('augment_val'):
             # Reference parity: val batches are augmented too
             # (single_frame.py:354); see QUIRKS.md "Deviations".
             self.eval_step = None
             self.aug_eval_step = make_aug_eval_step(
                 self.model, mean, std, img_dim=img_dim,
-                use_flow=config['use_flow'])
+                use_flow=config['use_flow'], use_mask=use_mask)
         else:
             if self.cache is not None:
                 self.eval_step = make_cached_eval_step(
