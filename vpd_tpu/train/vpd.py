@@ -126,7 +126,10 @@ def _cache_gather(cache, idx, mesh, rows_per_device):
     """
     if rows_per_device is None:
         return {k: v[idx] for k, v in cache.items()}
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..core.mesh import DATA_AXIS
