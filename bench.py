@@ -101,6 +101,11 @@ def main():
                     break
             assert all(np.all(np.isfinite(r)) for r in res)
             best = max(best, batch / min(times))
+        except AssertionError:
+            # non-finite embeddings are a numerics fault, not a relay
+            # hiccup: fail the whole bench rather than report the
+            # previous stage's number as if everything were fine
+            raise
         except Exception as exc:  # keep the previous stage's line valid
             print('# bench: B={} stage failed: {!r}'.format(batch, exc),
                   file=sys.stderr, flush=True)

@@ -149,3 +149,52 @@ def test_prewarm_shares_jit_cache():
     assert bucket_len(11) == 16 and bucket_len(17) == 32
     pred = trainer.predict(X[0])
     assert pred[0] in (0, 1)
+
+
+def test_batchnorm_ignores_padded_rows():
+    """Partial batches are padded with duplicate rows (static shapes);
+    BN batch statistics must cover only the valid rows — the reference
+    trains torch BN on the true-sized batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpd_tpu.models.gru import MaskedBatchNorm, TorchBatchNorm
+
+    rng = np.random.default_rng(5)
+    n_real, n_pad, d = 5, 3, 4
+    x_real = rng.normal(size=(n_real, d)).astype(np.float32)
+    x_pad = np.concatenate([x_real, np.tile(x_real[:1], (n_pad, 1))])
+    valid = np.arange(n_real + n_pad) < n_real
+
+    bn = TorchBatchNorm()
+    v = bn.init(jax.random.key(0), jnp.zeros((1, d)))
+    want, want_mut = bn.apply(v, x_real, train=True,
+                              mutable=['batch_stats'])
+    got, got_mut = bn.apply(v, x_pad, train=True, valid=valid,
+                            mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(got)[:n_real],
+                               np.asarray(want), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5),
+        got_mut['batch_stats'], want_mut['batch_stats'])
+
+    # MaskedBatchNorm: padded-row timesteps excluded from masked stats
+    t = 6
+    xs_real = rng.normal(size=(n_real, t, d)).astype(np.float32)
+    lens_real = rng.integers(2, t + 1, n_real).astype(np.int32)
+    xs_pad = np.concatenate([xs_real, np.tile(xs_real[:1],
+                                              (n_pad, 1, 1))])
+    lens_pad = np.concatenate([lens_real, np.tile(lens_real[:1], n_pad)])
+
+    mbn = MaskedBatchNorm()
+    v = mbn.init(jax.random.key(0), jnp.zeros((1, t, d)),
+                 jnp.ones((1,), jnp.int32))
+    want, want_mut = mbn.apply(v, xs_real, lens_real, train=True,
+                               mutable=['batch_stats'])
+    got, got_mut = mbn.apply(v, xs_pad, lens_pad, train=True, valid=valid,
+                             mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(got)[:n_real],
+                               np.asarray(want), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5),
+        got_mut['batch_stats'], want_mut['batch_stats'])

@@ -863,9 +863,9 @@ def _transplant_seq(ref_model, cell_type, depth, hidden_dim,
                                       'var': sd['bn_in.running_var']}
     for bi, (bn_key, lin_key) in enumerate([('fc_out.0', 'fc_out.2'),
                                             ('fc_out.4', 'fc_out.6')]):
-        params['TorchBatchNorm_%d' % bi] = {
+        params['BatchNorm_%d' % bi] = {
             'scale': sd[bn_key + '.weight'], 'bias': sd[bn_key + '.bias']}
-        stats['TorchBatchNorm_%d' % bi] = {
+        stats['BatchNorm_%d' % bi] = {
             'mean': sd[bn_key + '.running_mean'],
             'var': sd[bn_key + '.running_var']}
         params['Dense_%d' % di] = {'kernel': sd[lin_key + '.weight'].T,
@@ -930,7 +930,7 @@ def test_seq_classifier_oracle(cell_type, use_attention, input_batchnorm):
     for bi, key in enumerate(['fc_out.0', 'fc_out.4']):
         mod = dict(ref.named_modules())[key]
         np.testing.assert_allclose(
-            np.asarray(mut['batch_stats']['TorchBatchNorm_%d' % bi]['var']),
+            np.asarray(mut['batch_stats']['BatchNorm_%d' % bi]['var']),
             mod.running_var.detach().numpy(), rtol=1e-4, atol=1e-5)
 
 

@@ -389,3 +389,20 @@ def test_cached_step_respects_source_use_mask(tmp_path):
                      seed=0)
     loss_c = t_c.train_one_epoch(1)[0]
     np.testing.assert_allclose(loss_c, loss_s, rtol=1e-5)
+
+
+def test_shard_reader_relative_crop_root(tmp_path, monkeypatch):
+    """Prefixes built from a RELATIVE img_dir must still hit the packed
+    index (they used to pass through verbatim and miss every key)."""
+    crop_dir = str(tmp_path / 'crops')
+    write_crop_tree(crop_dir, ['v0'], 3)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, use_mask=False,
+               log=lambda *a: None)
+    monkeypatch.chdir(tmp_path)
+    reader = ShardReader('shards', crop_root='crops')
+    rel = [os.path.join('crops', 'v0', str(f)) for f in range(3)]
+    assert (reader.rows(rel) >= 0).all()
+    # bare index keys and absolute prefixes keep working too
+    assert (reader.rows(['v0/0']) >= 0).all()
+    assert (reader.rows([os.path.join(crop_dir, 'v0', '1')]) >= 0).all()

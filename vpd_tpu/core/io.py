@@ -51,8 +51,8 @@ def _replace_into(fpath, write_fn, mode, fsync=False):
     os.replace(tmp, fpath)
 
 
-def store_json(fpath, obj):
-    _replace_into(fpath, lambda fp: json.dump(obj, fp), 'w')
+def store_json(fpath, obj, **kwargs):
+    _replace_into(fpath, lambda fp: json.dump(obj, fp, **kwargs), 'w')
 
 
 def store_gz_json(fpath, obj):

@@ -164,6 +164,9 @@ class CacheIndexSource(CropBatchSource):
     def __init__(self, samples, img_dir, img_dim, batch_size, *,
                  cache, **kwargs):
         kwargs.pop('shard_dir', None)
+        # index batches never decode pixels — don't let the base class
+        # auto-probe (and possibly g++-build) the native PNG decoder
+        kwargs.setdefault('use_native', False)
         super().__init__(samples, img_dir, img_dim, batch_size, **kwargs)
         self.device_cache = cache
         # Enforce the same shard-meta contract as the streamed path

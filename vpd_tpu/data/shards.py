@@ -28,7 +28,7 @@ import re
 
 import numpy as np
 
-from ..core.io import load_pickle, store_pickle
+from ..core.io import load_pickle, store_json, store_pickle
 
 META_FILE = 'shards_meta.json'
 INDEX_FILE = 'shards_index.pkl'
@@ -131,15 +131,16 @@ def pack_crops(img_dir, shard_dir, img_dim, *, flow_img_name=None,
         flush(fill)
 
     store_pickle(os.path.join(shard_dir, INDEX_FILE), index)
-    with open(os.path.join(shard_dir, META_FILE), 'w') as fp:
-        json.dump({
-            'img_dim': img_dim,
-            'flow_img_name': flow_img_name,
-            'use_mask': use_mask,
-            'rows_per_shard': rows_per_shard,
-            'shard_rows': shard_rows,
-            'num_rows': len(index),
-        }, fp, indent=2)
+    # atomic: a crash during the meta dump at the end of a long pack must
+    # not leave a truncated shards_meta.json
+    store_json(os.path.join(shard_dir, META_FILE), {
+        'img_dim': img_dim,
+        'flow_img_name': flow_img_name,
+        'use_mask': use_mask,
+        'rows_per_shard': rows_per_shard,
+        'shard_rows': shard_rows,
+        'num_rows': len(index),
+    }, indent=2)
     log('packed {} crops into {} shards under {}'.format(
         len(index), len(shard_rows), shard_dir))
     return len(index)
@@ -178,11 +179,18 @@ class ShardReader:
         return self.meta['num_rows']
 
     def _rel(self, prefix):
-        if os.path.isabs(prefix):
-            assert self.crop_root is not None, \
+        if self.crop_root is not None:
+            ap = os.path.abspath(prefix)
+            # relativize any prefix living under the crop root — incl.
+            # ones built from a RELATIVE img_dir, which previously
+            # passed through verbatim and missed every index key; bare
+            # index keys ('video/frame') still pass through untouched
+            if ap == self.crop_root or \
+                    ap.startswith(self.crop_root + os.sep):
+                prefix = os.path.relpath(ap, self.crop_root)
+        else:
+            assert not os.path.isabs(prefix), \
                 'absolute prefix but ShardReader has no crop_root'
-            prefix = os.path.relpath(os.path.abspath(prefix),
-                                     self.crop_root)
         return prefix.replace(os.sep, '/')
 
     def rows(self, prefixes):

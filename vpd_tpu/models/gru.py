@@ -35,7 +35,7 @@ class MaskedBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, lengths, train: bool = False):
+    def __call__(self, x, lengths, train: bool = False, valid=None):
         d = x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros(d))
@@ -44,7 +44,13 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (d,))
 
         if train:
-            mask = length_mask(lengths, x.shape[1])[..., None]
+            mask = length_mask(lengths, x.shape[1])
+            if valid is not None:
+                # rows padded onto a partial batch (duplicates of row 0,
+                # train/classifier.py) must not count toward batch stats
+                # — the reference sees the true-sized batch
+                mask = mask & valid[:, None]
+            mask = mask[..., None]
             n = jnp.sum(mask)
             nc = jnp.maximum(n, 1)
             bmean = jnp.sum(x * mask, axis=(0, 1)) / nc
@@ -85,7 +91,7 @@ class TorchBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid=None):
         d = x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros(d))
@@ -93,14 +99,24 @@ class TorchBatchNorm(nn.Module):
         scale = self.param('scale', nn.initializers.ones, (d,))
         bias = self.param('bias', nn.initializers.zeros, (d,))
         if train:
-            n = x.shape[0]
-            mean = jnp.mean(x, axis=0)
-            var = jnp.mean(jnp.square(x - mean), axis=0)
+            if valid is None:
+                n = x.shape[0]
+                unbias = n / max(n - 1, 1)
+                mean = jnp.mean(x, axis=0)
+                var = jnp.mean(jnp.square(x - mean), axis=0)
+            else:
+                # partial batches are padded to a fixed size with
+                # duplicate rows (static shapes); stats must cover only
+                # the real rows, like torch seeing the true-sized batch
+                w = valid.astype(x.dtype)[:, None]
+                n = jnp.sum(w)
+                unbias = n / jnp.maximum(n - 1, 1)
+                mean = jnp.sum(x * w, axis=0) / n
+                var = jnp.sum(jnp.square(x - mean) * w, axis=0) / n
             ra_mean.value = (self.momentum * ra_mean.value
                              + (1 - self.momentum) * mean)
             ra_var.value = (self.momentum * ra_var.value
-                            + (1 - self.momentum) * var
-                            * (n / max(n - 1, 1)))
+                            + (1 - self.momentum) * var * unbias)
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) / jnp.sqrt(var + self.epsilon)
@@ -159,10 +175,10 @@ class SeqClassifier(nn.Module):
     use_attention: bool = True
 
     @nn.compact
-    def __call__(self, x, lengths, train: bool = False):
+    def __call__(self, x, lengths, train: bool = False, valid=None):
         x = nn.Dropout(self.input_dropout, deterministic=not train)(x)
         if self.input_batchnorm:
-            x = MaskedBatchNorm()(x, lengths, train=train)
+            x = MaskedBatchNorm()(x, lengths, train=train, valid=valid)
 
         outputs, last_state = BiRNN(
             self.cell_type, self.hidden_dim, self.depth)(x, lengths)
@@ -182,11 +198,15 @@ class SeqClassifier(nn.Module):
             neg_inf = jnp.full_like(outputs, -jnp.inf)
             pooled = jnp.max(jnp.where(mask, outputs, neg_inf), axis=1)
 
-        pooled = TorchBatchNorm()(pooled, train=train)
+        # explicit names keep the param/batch_stats tree compatible with
+        # heads saved before nn.BatchNorm was replaced by TorchBatchNorm
+        pooled = TorchBatchNorm(name='BatchNorm_0')(
+            pooled, train=train, valid=valid)
         pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
         pooled = nn.Dense(hidden2)(pooled)
         pooled = nn.relu(pooled)
-        pooled = TorchBatchNorm()(pooled, train=train)
+        pooled = TorchBatchNorm(name='BatchNorm_1')(
+            pooled, train=train, valid=valid)
         pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
         return nn.Dense(self.num_classes)(pooled)
 
@@ -201,8 +221,8 @@ class CNNClassifier(nn.Module):
     input_dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x, lengths, train: bool = False):
-        assert self.depth <= 2
+    def __call__(self, x, lengths, train: bool = False, valid=None):
+        assert self.depth <= 2  # valid: unused (no batch-stat layers)
         x = nn.Dropout(self.input_dropout, deterministic=not train)(x)
 
         feats = []

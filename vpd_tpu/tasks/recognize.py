@@ -251,6 +251,7 @@ def run_action_recognition(
                                    max_len=device_max_len, log=log)
 
     bucket_floor = None
+    pw_thread = None
     if algorithm in SEQ_MODELS and load_weights is None:
         # Overlap the (relay-side, possibly minutes) XLA compile of the
         # shared train/eval programs with the host-side sweep prep so
@@ -273,8 +274,14 @@ def run_action_recognition(
             pw_kwargs = {}
             if algorithm in ('gru', 'lstm'):
                 pw_kwargs['use_attention'] = attn
-            prewarm_seq_model(
-                algorithm, len(set(train_labels[a] for a in train_embs)),
+            # class count over actions WITH embeddings: the trainers
+            # derive num_classes from np.unique(y) after None embs are
+            # dropped, and a mismatched head shape wastes the prewarm
+            pw_classes = len(set(
+                train_labels[a] for a, v in train_embs.items()
+                if v is not None))
+            pw_thread = prewarm_seq_model(
+                algorithm, pw_classes,
                 hidden_dim, int(seqs[0].shape[-1]), bucket_floor,
                 **pw_kwargs)
 
@@ -341,19 +348,30 @@ def run_action_recognition(
         return acc
 
     accs = {}
-    for ne in num_train_examples:
-        trial_accs = []
-        for i in range(n_trials):
-            if ne > 0:
-                ids = load_action_ids_fn(few_shot_template.format(ne, i))
-                embs = {a: b for a, b in train_embs.items() if a in ids}
-            else:
-                embs = train_embs
-            trial_accs.append(run_trial(i, embs, ne))
-        log('{}-shot mean accuracy: {:0.3f} +/- {:0.3f}'.format(
-            ne if ne > 0 else 'full',
-            np.mean(trial_accs) * 100, np.std(trial_accs) * 100))
-        accs[ne] = trial_accs
+    try:
+        for ne in num_train_examples:
+            trial_accs = []
+            for i in range(n_trials):
+                if ne > 0:
+                    ids = load_action_ids_fn(
+                        few_shot_template.format(ne, i))
+                    embs = {a: b for a, b in train_embs.items()
+                            if a in ids}
+                else:
+                    embs = train_embs
+                trial_accs.append(run_trial(i, embs, ne))
+            log('{}-shot mean accuracy: {:0.3f} +/- {:0.3f}'.format(
+                ne if ne > 0 else 'full',
+                np.mean(trial_accs) * 100, np.std(trial_accs) * 100))
+            accs[ne] = trial_accs
+    finally:
+        # Never leave the daemon compile thread running into interpreter
+        # shutdown (a thread inside native XLA code at finalization can
+        # abort the process); on the normal path trial 0 shares the
+        # compile, so this join is instant.
+        if pw_thread is not None and pw_thread.is_alive():
+            log('waiting for the background prewarm compile to finish...')
+            pw_thread.join()
     return accs
 
 

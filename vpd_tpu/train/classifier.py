@@ -56,10 +56,13 @@ def _cached_train_step(model):
         rng = jax.random.fold_in(rng, step_i)
 
         def loss_fn(p):
+            # valid also reaches the BN layers: rows padded onto a
+            # partial batch must not skew batch statistics (the
+            # reference trains on the true-sized batch)
             out, mut = model.apply(
                 {'params': p, 'batch_stats': batch_stats},
-                x, lengths, train=True, mutable=['batch_stats'],
-                rngs={'dropout': rng})
+                x, lengths, train=True, valid=valid,
+                mutable=['batch_stats'], rngs={'dropout': rng})
             logp = jax.nn.log_softmax(out)
             nll = -jnp.take_along_axis(
                 logp, y[:, None], axis=1).squeeze(1)

@@ -101,7 +101,9 @@ def make_train_step(model, mean, std, img_dim=128, use_flow=False,
     """One fused program: augment uint8 batch -> student fwd/bwd -> AdamW.
 
     `aug_dtype=bfloat16` runs the augmentation block in bf16 (see
-    `train_augment_batch`); default float32 matches rounds 1-2 bit-wise.
+    `train_augment_batch`); float32 is the full-precision default. (Note
+    the round-3 jitter rework randomized the color-op order per batch,
+    so same-seed pixel streams differ from rounds 1-2 at any dtype.)
     """
     aug_dtype = aug_dtype if aug_dtype is not None else jnp.float32
 
