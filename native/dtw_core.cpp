@@ -67,8 +67,10 @@ double dtw_symmetricP2(const double* d, int64_t n, int64_t m) {
                     if (c < best) best = c;
                 }
                 if (i >= 3 && j >= 2) {
+                    // weights 2,2,1: mirror of the (i-2,j-3) pattern
+                    // (Sakoe-Chiba symmetric weight = di+dj per step)
                     double c = r3[j - 2] + 2 * cell(d, m, i - 2, j - 1)
-                               + cell(d, m, i - 1, j) + dij;
+                               + 2 * cell(d, m, i - 1, j) + dij;
                     if (c < best) best = c;
                 }
             }

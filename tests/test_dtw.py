@@ -124,3 +124,31 @@ def test_batch_distances_tpu_chunked_matches_host():
     fn = build_dtw_distance_fn('symmetric2', prefer_native=False)
     want = np.array([[fn(q, t) for t in ts] for q in qs])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_symmetricP2_is_symmetric():
+    """A symmetric step pattern must give dtw(a,b) == dtw(b,a); pattern
+    3 previously dropped the 2x weight on d[i-1,j] (Sakoe-Chiba
+    symmetric weight = di+dj per step => both side patterns are 2,2,1)."""
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(10, 4))
+    b = rng.normal(size=(13, 4))
+    d_ab = pairwise_l2(a, b)
+    fwd = dtw_distance(d_ab, 'symmetricP2')
+    bwd = dtw_distance(d_ab.T, 'symmetricP2')
+    assert abs(fwd - bwd) < 1e-12, (fwd, bwd)
+
+
+def test_batch_distances_empty_and_zero_len():
+    from vpd_tpu.tasks.neighbors import batch_distances_tpu
+
+    rng = np.random.default_rng(0)
+    seqs = [rng.normal(size=(8, 3)).astype(np.float32) for _ in range(3)]
+    assert batch_distances_tpu([], seqs).shape == (0, 3)
+    assert batch_distances_tpu(seqs, []).shape == (3, 0)
+    # zero-length sequences are infeasible (+inf), not length-1 zeros
+    empty = np.zeros((0, 3), np.float32)
+    out = batch_distances_tpu([seqs[0], empty], seqs + [empty],
+                              max_len=16)
+    assert np.isinf(out[1]).all() and np.isinf(out[:, 3]).all()
+    assert np.isfinite(out[0, :3]).all()

@@ -205,3 +205,35 @@ def test_sample_batch_matches_sample_distribution():
                        - np.mean([r[k] for r in ref])) < 0.06, (fam, k)
         assert abs(out['neg_valid'].mean()
                    - np.mean([r['neg_valid'] for r in ref])) < 0.12
+
+
+def test_nba2k_camera_aug_forced_on():
+    """NBA2kDataset.load_default hardcodes camera augmentation on
+    (reference keypoint.py:442-465): --no_camera_aug must not disable
+    it for the nba2k family."""
+    seqs, poses = make_synth_family('nba2k', seed=4)
+    sampler = VIPESampler(FAMILIES['nba2k'], seqs, poses,
+                          augment_camera=False, target_len=4, seed=0)
+    assert sampler.augment_camera
+    off = VIPESampler(FAMILIES['human36m'],
+                      *make_synth_family('human36m', seed=4),
+                      augment_camera=False, target_len=4, seed=0)
+    assert not off.augment_camera
+
+
+def test_fused_batcher_construction_preserves_sampler_stream():
+    """Deriving kp_dims at batcher construction must not advance the
+    samplers' RNG: two batchers over identically-seeded samplers draw
+    identical batches."""
+    def build():
+        seqs, poses = make_synth_family('human36m', seed=5)
+        return VIPESampler(FAMILIES['human36m'], seqs, poses,
+                           target_len=8, seed=7)
+
+    s1, s2 = build(), build()
+    b1 = FusedBatcher([s1], 4)
+    ref = b1.next_batch()
+    b2a = FusedBatcher([s2], 4)   # a second construction over s2's twin
+    got = b2a.next_batch()
+    np.testing.assert_allclose(got['pose1'], ref['pose1'])
+    np.testing.assert_allclose(got['kp_features'], ref['kp_features'])

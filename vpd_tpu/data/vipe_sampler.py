@@ -50,6 +50,9 @@ class FamilyConfig:
     style: str = 'multiview'
     train_target_len: int = 20000
     val_target_len: int = 2000
+    # NBA2K: the reference's load_default hardcodes camera augmentation
+    # on (keypoint.py:442-465 passes True regardless of the CLI flag)
+    force_camera_aug: bool = False
 
 
 FAMILIES = {
@@ -61,7 +64,7 @@ FAMILIES = {
         pose3d_index=lambda f: f - 1,
         train_target_len=5000, val_target_len=500),
     'nba2k': FamilyConfig(
-        'nba2k', nba2k.SPEC, style='synth2',
+        'nba2k', nba2k.SPEC, style='synth2', force_camera_aug=True,
         train_target_len=5000, val_target_len=500),
     'amass': FamilyConfig(
         'amass', amass.SPEC,
@@ -86,7 +89,7 @@ class VIPESampler:
         self.sequences = sequences
         self.poses_3d = poses_3d
         self.random_hflip = random_hflip
-        self.augment_camera = augment_camera
+        self.augment_camera = augment_camera or family.force_camera_aug
         self.embed_bones = embed_bones
         self.target_len = target_len or family.train_target_len
         self.rng = np.random.default_rng(seed)
@@ -420,10 +423,20 @@ class FusedBatcher:
                     self.rows[big] += bump
         self.batch_size = sum(self.rows)
         self.num_batches = math.ceil(total / self.batch_size)
-        self.kp_dims = [
-            int(np.prod(s.sample()['kp_features'].shape))
-            if isinstance(s, VIPESampler) else 0
-            for s in self.samplers]
+
+        def probe_kp_dim(s):
+            # one draw tells us the static feature width, but it must
+            # not advance the sampler's RNG/counters: two batchers over
+            # the same samplers would otherwise see shifted streams
+            state = s.rng.bit_generator.state
+            counts = (s.sample_count, s.neg_fail_count)
+            dim = int(np.prod(s.sample()['kp_features'].shape))
+            s.rng.bit_generator.state = state
+            s.sample_count, s.neg_fail_count = counts
+            return dim
+
+        self.kp_dims = [probe_kp_dim(s) if isinstance(s, VIPESampler)
+                        else 0 for s in self.samplers]
         self.max_kp_dim = max(self.kp_dims) if self.kp_dims else 0
 
     def next_batch(self):
@@ -538,16 +551,17 @@ def load_nba2k(pose_2d_dir, pose_3d_file):
 
 
 def load_amass(pose_2d_dir, pose_3d_file):
-    """AMASS with per-subdataset duplication weights
-    (`vipe_dataset/keypoint.py:836-851`)."""
-    (train, val), poses_3d = load_keyed(
+    """AMASS sequences, unweighted.
+
+    The reference builds a duplication-weighted `all_sequences` list
+    (`vipe_dataset/keypoint.py:836-851`, x10 for MPIHDM05/MPILimits/
+    MPImosh) but then filters `train_2d` from the UNWEIGHTED `pose_2d`
+    — the weighted list is dead code, so the reference trains AMASS
+    unweighted and so do we (QUIRKS.md). `AMASS_SAMPLE_WEIGHTS` records
+    the dead table for anyone who wants to opt in."""
+    return load_keyed(
         pose_2d_dir, pose_3d_file, 'amass',
         lambda f: tuple(f.split('.', 1)[0].split('_', 1)))
-    weighted_train = []
-    for item in train:
-        w = AMASS_SAMPLE_WEIGHTS.get(item[0][0], 1)
-        weighted_train.extend([item] * int(round(w)))
-    return (weighted_train, val), poses_3d
 
 
 def _split_by_person(sequences, val_people):

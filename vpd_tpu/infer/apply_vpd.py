@@ -13,6 +13,7 @@ padded to a fixed size so one compiled program serves the whole corpus —
 this path is the crops/sec/chip north-star benchmark.
 """
 
+import itertools
 import os
 import re
 
@@ -52,27 +53,31 @@ def load_student_dir(model_dir, model_epoch=None, dtype=None):
     return model, {'params': params, 'batch_stats': stats}, config
 
 
-def make_variant_embed(model, variables, config, jitter=0, flip=True,
-                       seed=0):
+def make_variant_embed(model, variables, config, jitter=0, flip=True):
     """Jitted: (B, S, S, 3[+flow]) uint8 -> (B, k, D) variant embeddings.
 
     Variant order: [orig, jitter x j, flip, flip-jitter x j] (flipped
     variants use flipped flow with negated x, fixing the reference's
     unflipped-flow quirk for flip-jitters, single_frame.py:386).
+    `chunk_i` folds into the key INSIDE the jit (a host int arg, not an
+    eager fold_in dispatch per chunk) so every chunk draws fresh jitter
+    factors, like the reference's fresh ColorJitter draw per image
+    (`single_frame.py:377-386`).
     """
     mean, std = config['rgb_mean_std']
     use_flow = config['use_flow']
     encoder_only = model.encoder  # motion head is train-only
 
     @jax.jit
-    def fn(rgb_u8, flow_u8, rng):
+    def fn(rgb_u8, flow_u8, rng, chunk_i=0):
         x = eval_transform_batch(rgb_u8, mean, std,
                                  flow_u8=flow_u8 if use_flow else None)
         variants = [x]
+        chunk_rng = jax.random.fold_in(rng, chunk_i) if jitter else rng
         for j in range(jitter):
             jit_rgb = batch_color_jitter(
                 rgb_u8.astype(jnp.float32) / 255.,
-                jax.random.fold_in(rng, j))
+                jax.random.fold_in(chunk_rng, j))
             xj = (jit_rgb - jnp.asarray(mean)) / jnp.asarray(std)
             if use_flow:
                 xj = jnp.concatenate([xj, x[..., 3:]], axis=-1)
@@ -138,7 +143,7 @@ def scan_tennis_crop_dir(video_dir, crop_dir):
 def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
               flow_img_name=None, jitter=0, no_flip=False,
               batch_size=EXTRACT_BATCH, mesh=None, log=print,
-              prepared=None, embed_fn=None, shard_reader=None):
+              prepared=None, embed_fn=None, shard_reader=None, seed=0):
     """Extraction; pass a `Mesh` to shard batches across chips (inference
     fan-out: sharded batch embed + host gather, SURVEY.md §2.8).
 
@@ -161,7 +166,8 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             'jitter/no_flip alongside it would be silently ignored')
     embed = embed_fn if embed_fn is not None else make_variant_embed(
         model, variables, config, jitter=jitter, flip=not no_flip)
-    rng = jax.random.key(0)
+    rng = jax.random.key(seed)
+    chunk_counter = itertools.count()
 
     def decode_chunk(chunk):
         rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
@@ -204,7 +210,8 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             from ..core.mesh import shard_batch
 
             rgb, flow = shard_batch((rgb, flow), mesh)
-        return embed(rgb, flow, rng)
+        # compute() runs sequentially on the main thread (run_pipelined)
+        return embed(rgb, flow, rng, np.int32(next(chunk_counter)))
 
     def collect(chunk, dev_out):
         embs = np.asarray(dev_out)[:len(chunk)]

@@ -64,10 +64,11 @@ def _cost_matrix_symmetricP2(d):
             if i >= 2 and j >= 3:
                 best = min(best, g[i - 2, j - 3] + 2 * d[i - 1, j - 2]
                            + 2 * d[i, j - 1] + d[i, j])
-            # pattern 3: (i-3, j-2) -> weights 2,1,1
+            # pattern 3: (i-3, j-2) -> weights 2,2,1 (mirror of pattern
+            # 1: Sakoe-Chiba symmetric weight = di+dj per step)
             if i >= 3 and j >= 2:
                 best = min(best, g[i - 3, j - 2] + 2 * d[i - 2, j - 1]
-                           + d[i - 1, j] + d[i, j])
+                           + 2 * d[i - 1, j] + d[i, j])
             g[i, j] = best
     return g
 
@@ -209,7 +210,7 @@ if _HAS_JAX:
                 BIG)
             p3 = jnp.where(
                 (i >= 3) & (col >= 2),
-                shift(g3, 2) + 2 * shift0(d2, 1) + d1 + dj,
+                shift(g3, 2) + 2 * shift0(d2, 1) + 2 * d1 + dj,
                 BIG)
             g = jnp.minimum(jnp.minimum(diag, p1), p3)
             g = jnp.where((i == 0) & (col == 0), dj, g)

@@ -100,7 +100,7 @@ def _dtw_kernel(q_ref, t_ref, nt_ref, ql_ref, tl_ref, end_ref,
             p3 = jnp.where(
                 (i >= 3) & (lane_mod >= 2),
                 _shiftb(g3, 2, lane_mod) + 2. * _shift0(d2, 1, lane_mod)
-                + d1 + dj,
+                + 2. * d1 + dj,
                 BIG)
             g = jnp.minimum(jnp.minimum(diag, p1), p3)
             g = jnp.where((i == 0) & (lane_mod == 0), dj, g)

@@ -138,6 +138,10 @@ def batch_distances_tpu(queries, targets, max_len=512,
     """
     from ..ops.dtw import dtw_distance_matrix_tpu
 
+    nq, nt = len(queries), len(targets)
+    if nq == 0 or nt == 0:
+        return np.zeros((nq, nt), np.float32)
+
     def pad(seqs, rows):
         d = seqs[0].shape[-1]
         out = np.zeros((rows, max_len, d), np.float32)
@@ -154,7 +158,6 @@ def batch_distances_tpu(queries, targets, max_len=512,
             b *= 2
         return b
 
-    nq, nt = len(queries), len(targets)
     qb = block_of(nq, query_block)
     tb = block_of(nt, target_block)
     nq_pad = -(-nq // qb) * qb
@@ -186,7 +189,14 @@ def batch_distances_tpu(queries, targets, max_len=512,
             out[i:i + qb, j:j + tb] = np.asarray(
                 dtw_distance_matrix_tpu(qs, qls, ts, tls,
                                         step_pattern=step_pattern))
-    return out[:nq, :nt]
+    out = out[:nq, :nt]
+    # zero-length sequences are infeasible, not all-zero rows of length
+    # 1: the host path errors/returns inf there (ValueError -> inf)
+    empty_q = np.array([len(s) == 0 for s in queries], bool)
+    empty_t = np.array([len(s) == 0 for s in targets], bool)
+    out[empty_q, :] = np.inf
+    out[:, empty_t] = np.inf
+    return out
 
 
 def make_dtw_fns():

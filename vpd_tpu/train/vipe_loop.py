@@ -156,7 +156,10 @@ class VIPETrainer:
 
     def train_one_epoch(self, epoch):
         self.state, train_m = self._run(self.train_batcher, train=True)
-        _, val_m = self._run(self.val_batcher, train=False)
+        # val_batcher=None is accepted by __init__/close: fall back to
+        # train metrics for selection rather than crashing mid-fit
+        val_m = (self._run(self.val_batcher, train=False)[1]
+                 if self.val_batcher is not None else train_m)
 
         names = self.config.get('dataset_names')
         per_ds = lambda m: [
