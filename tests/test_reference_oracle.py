@@ -22,6 +22,7 @@ The reference's conv-ResNet half of models/module.py needs torchvision
 here are the reference's own code, untouched.
 """
 
+import json
 import math
 import os
 import sys
@@ -1552,3 +1553,131 @@ def test_vpd_epoch_loss_oracle(tmp_path):
 
     assert abs(our_loss - ref_loss) / abs(ref_loss) < 1e-3, \
         (our_loss, ref_loss)
+
+
+# ---------------------------------------------------------------------------
+# tools/import_torch_model.py: reference model dirs -> our checkpoint format
+# ---------------------------------------------------------------------------
+
+def test_import_torch_model_vipe(tmp_path):
+    """A reference VIPE save_dir (config.json + {name}.encoder.pt,
+    train_vipe_model.py:171-183,330-344) converted by the import tool
+    loads through apply_vipe.load_model_dir and embeds identically to
+    the torch encoder."""
+    import models.module as mm
+
+    from vpd_tpu.geometry.coco import pose_input_dim
+    from vpd_tpu.infer.apply_vipe import load_model_dir
+    from vpd_tpu.tools.import_torch_model import main as import_main
+
+    in_dim = pose_input_dim(False)
+    torch.manual_seed(11)
+    enc_best = mm.FCResNet(in_dim, EMB, BLOCKS, HID)
+    enc_old = mm.FCResNet(in_dim, EMB, BLOCKS, HID)
+    gen = torch.Generator().manual_seed(12)
+    for m in enc_best.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(
+                    m.running_mean.shape, generator=gen) * .1)
+                m.running_var.copy_(torch.rand(
+                    m.running_var.shape, generator=gen) + .5)
+
+    ref_dir = tmp_path / 'torch_model'
+    ref_dir.mkdir()
+    torch.save(enc_best.state_dict(),
+               str(ref_dir / 'best_epoch.encoder.pt'))
+    torch.save(enc_old.state_dict(),
+               str(ref_dir / 'epoch0003.encoder.pt'))
+    torch.save({'sgd': 1}, str(ref_dir / 'best_epoch.optimizer.pt'))
+    with open(ref_dir / 'config.json', 'w') as fp:
+        json.dump({
+            'datasets': [{'name': 'human36m', '3d_pose_shape': [14, 3],
+                          'mean_kp_offset_norms': [1.0] * 20}],
+            'num_epochs': 500, 'learning_rate': 1e-4, 'batch_size': 100,
+            'embedding_dim': EMB, 'encoder_arch': [BLOCKS, HID],
+            'decoder_arch': [2, 16], 'embed_bones': False,
+            'augment_camera': True}, fp)
+    with open(ref_dir / 'loss.json', 'w') as fp:
+        json.dump([{'epoch': 1, 'train': 1.0, 'val': 2.0}], fp)
+
+    out_dir = str(tmp_path / 'converted')
+    import_main(str(ref_dir), out_dir)
+    assert os.path.exists(os.path.join(out_dir, 'loss.json'))
+
+    x = np.random.default_rng(13).normal(
+        0, 1, (6, in_dim)).astype(np.float32)
+    for epoch, tmod in [(None, enc_best), (3, enc_old)]:
+        model, variables, config = load_model_dir(out_dir, epoch)
+        assert config['embedding_dim'] == EMB
+        tmod.eval()
+        with torch.no_grad():
+            want = tmod(torch.from_numpy(x)).numpy()
+        got = np.asarray(model.encoder.apply(
+            {'params': variables['params']['encoder'],
+             'batch_stats': variables['batch_stats']['encoder']},
+            x, train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_import_torch_model_vpd(tmp_path):
+    """A reference VPD save_dir ('resnet.'-prefixed RGBF state_dict,
+    models/rgb.py:61, train_vpd_model.py:107-112,222-228) converted by
+    the import tool loads through apply_vpd.load_student_dir and embeds
+    identically to the torch encoder."""
+    import models.module as mm
+
+    import jax.numpy as jnp
+    from vpd_tpu.infer.apply_vpd import load_student_dir
+    from vpd_tpu.tools.import_torch_model import main as import_main
+
+    arch, in_ch, emb = 'resnet18', 5, 16
+    cfg = mm.ENCODER_ARCH[arch]
+    torch.manual_seed(14)
+    tmod = mm.ResNet(cfg.block, cfg.layers, in_ch, emb)
+    gen = torch.Generator().manual_seed(15)
+    for m in tmod.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(
+                    m.running_mean.shape, generator=gen) * .05)
+                m.running_var.copy_(torch.rand(
+                    m.running_var.shape, generator=gen) + .5)
+    tmod.eval()
+
+    ref_dir = tmp_path / 'torch_model'
+    ref_dir.mkdir()
+    torch.save({'resnet.' + k: v for k, v in tmod.state_dict().items()},
+               str(ref_dir / 'best_epoch.encoder.pt'))
+    with open(ref_dir / 'config.json', 'w') as fp:
+        json.dump({
+            'num_epochs': 1000, 'batch_size': 100,
+            'learning_rate': 5e-4, 'img_dim': 32, 'use_flow': True,
+            'motion': False, 'emb_dim': emb, 'encoder_arch': arch,
+            'rgb_mean_std': [[.4, .4, .4], [.2, .2, .2]]}, fp)
+
+    out_dir = str(tmp_path / 'converted')
+    import_main(str(ref_dir), out_dir)
+
+    model, variables, config = load_student_dir(
+        out_dir, dtype=jnp.float32)
+    x = np.random.default_rng(16).normal(
+        0, 1, (2, 32, 32, in_ch)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_import_torch_model_effnet_rejected(tmp_path):
+    from vpd_tpu.tools.import_torch_model import main as import_main
+
+    ref_dir = tmp_path / 'torch_model'
+    ref_dir.mkdir()
+    with open(ref_dir / 'config.json', 'w') as fp:
+        json.dump({'use_flow': False, 'emb_dim': 8, 'motion': False,
+                   'img_dim': 32, 'encoder_arch': 'effnet0',
+                   'rgb_mean_std': [[.4] * 3, [.2] * 3]}, fp)
+    with pytest.raises(SystemExit, match='resnet'):
+        import_main(str(ref_dir), str(tmp_path / 'out'))
