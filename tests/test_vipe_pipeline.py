@@ -130,3 +130,26 @@ def test_apply_vipe_no_flip_single_rows(tmp_path):
     with open(out_dir / 'vid.emb.pkl', 'rb') as fp:
         embs = pickle.load(fp)
     assert embs[0][1].shape == (8,)
+
+
+def test_trainer_without_val_batcher(tmp_path):
+    """val_batcher=None trains and selects on train metrics instead of
+    crashing mid-fit (vipe_loop.train_one_epoch fallback)."""
+    seqs, poses = make_synth_family('human36m', seed=0)
+    train_b = FusedBatcher([VIPESampler(
+        FAMILIES['human36m'], seqs, poses, target_len=32, seed=0)], 16)
+    config = default_config(
+        ['human36m'], [(20, 7)],
+        [train_b.samplers[0].mean_kp_offset_norms],
+        num_epochs=1, embedding_dim=8,
+        encoder_arch=(1, 32), decoder_arch=(1, 32),
+        checkpoint_frequency=1)
+    trainer = VIPETrainer(train_b, None, config,
+                          save_dir=str(tmp_path / 'model'))
+    try:
+        trainer.save_config()
+        trainer.fit(log=lambda *a: None)
+        train_m, val_m = trainer.train_one_epoch(2)
+        assert val_m is train_m
+    finally:
+        trainer.close()
