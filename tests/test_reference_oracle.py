@@ -1587,8 +1587,10 @@ def test_import_torch_model_vipe(tmp_path):
     ref_dir.mkdir()
     torch.save(enc_best.state_dict(),
                str(ref_dir / 'best_epoch.encoder.pt'))
+    # 5-digit epoch: the reference's '{:04d}'.format widens past 9999,
+    # so the import regex must accept 4-or-more digits
     torch.save(enc_old.state_dict(),
-               str(ref_dir / 'epoch0003.encoder.pt'))
+               str(ref_dir / 'epoch10000.encoder.pt'))
     torch.save({'sgd': 1}, str(ref_dir / 'best_epoch.optimizer.pt'))
     with open(ref_dir / 'config.json', 'w') as fp:
         json.dump({
@@ -1607,7 +1609,7 @@ def test_import_torch_model_vipe(tmp_path):
 
     x = np.random.default_rng(13).normal(
         0, 1, (6, in_dim)).astype(np.float32)
-    for epoch, tmod in [(None, enc_best), (3, enc_old)]:
+    for epoch, tmod in [(None, enc_best), (10000, enc_old)]:
         model, variables, config = load_model_dir(out_dir, epoch)
         assert config['embedding_dim'] == EMB
         tmod.eval()

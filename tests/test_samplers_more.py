@@ -237,3 +237,13 @@ def test_fused_batcher_construction_preserves_sampler_stream():
     got = b2a.next_batch()
     np.testing.assert_allclose(got['pose1'], ref['pose1'])
     np.testing.assert_allclose(got['kp_features'], ref['kp_features'])
+
+
+def test_kp_feature_dim_matches_sample_for_every_family():
+    """The static kp_feature_dim formula must equal the width of an
+    actual drawn sample's kp_features for each family spec."""
+    for fam in FAMILIES:
+        seqs, poses = make_synth_family(fam, seed=2)
+        s = VIPESampler(FAMILIES[fam], seqs, poses, target_len=4, seed=0)
+        drawn = int(np.prod(s.sample()['kp_features'].shape))
+        assert s.kp_feature_dim == drawn, (fam, s.kp_feature_dim, drawn)

@@ -268,6 +268,27 @@ def test_jittered_extraction_variants(tmp_path):
     # variants: orig, jitter, flip, flip-jitter
     assert embs[0][1].shape == (4, emb_dim)
 
+    # a legacy 3-arg embed_fn(rgb, flow, rng) must be accepted and
+    # dispatch identically to a 4-arg fn that ignores its chunk index
+    from vpd_tpu.infer.apply_vpd import load_student_dir, make_variant_embed
+    prepared = load_student_dir(str(tmp_path / 'm'), 1)
+    new_embed = make_variant_embed(*prepared, jitter=1, flip=True)
+    for sub, fn in [
+            ('o_leg', lambda rgb, flow, rng: new_embed(
+                rgb, flow, rng, np.int32(0))),
+            ('o_pin', lambda rgb, flow, rng, ci: new_embed(
+                rgb, flow, rng, np.int32(0)))]:
+        apply_vpd(videos, tasks, str(tmp_path / 'm'), str(tmp_path / sub),
+                  model_epoch=1, batch_size=8, embed_fn=fn,
+                  prepared=prepared, log=lambda *a: None)
+    with open(tmp_path / 'o_leg' / 'video0.emb.pkl', 'rb') as fp:
+        leg = pickle.load(fp)
+    with open(tmp_path / 'o_pin' / 'video0.emb.pkl', 'rb') as fp:
+        pin = pickle.load(fp)
+    for (f1, a, _), (f2, b, _) in zip(leg, pin):
+        assert f1 == f2
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
 
 def test_prefetched_source_adapter(tmp_path):
     from vpd_tpu.data.crops import PrefetchedSource

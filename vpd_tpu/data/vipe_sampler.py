@@ -100,6 +100,16 @@ class VIPESampler:
         return max(self.target_len, len(self.sequences))
 
     @property
+    def kp_feature_dim(self):
+        """Static flattened width of sample()['kp_features']: E edges x
+        (3 offset + 1 parent angle [+ 3 root direction]) — the
+        get_3d_features layout. Derivable from the spec alone, so
+        FusedBatcher can size its padding without drawing a sample
+        (which would advance the RNG stream)."""
+        per_edge = 4 + (3 if USE_ROOT_DIRECTIONS else 0)
+        return self.spec.num_edges * per_edge
+
+    @property
     def mean_kp_offset_norms(self):
         def stacks():
             for key, _ in self.sequences:
@@ -424,18 +434,9 @@ class FusedBatcher:
         self.batch_size = sum(self.rows)
         self.num_batches = math.ceil(total / self.batch_size)
 
-        def probe_kp_dim(s):
-            # one draw tells us the static feature width, but it must
-            # not advance the sampler's RNG/counters: two batchers over
-            # the same samplers would otherwise see shifted streams
-            state = s.rng.bit_generator.state
-            counts = (s.sample_count, s.neg_fail_count)
-            dim = int(np.prod(s.sample()['kp_features'].shape))
-            s.rng.bit_generator.state = state
-            s.sample_count, s.neg_fail_count = counts
-            return dim
-
-        self.kp_dims = [probe_kp_dim(s) if isinstance(s, VIPESampler)
+        # static per-family widths: must not draw a sample here (two
+        # batchers over the same samplers would see shifted RNG streams)
+        self.kp_dims = [s.kp_feature_dim if isinstance(s, VIPESampler)
                         else 0 for s in self.samplers]
         self.max_kp_dim = max(self.kp_dims) if self.kp_dims else 0
 

@@ -149,7 +149,11 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
 
     `prepared=(model, variables, config)` and `embed_fn` let repeated
     calls in one process reuse the loaded weights and the compiled embed
-    program instead of re-tracing per invocation. `shard_reader`
+    program instead of re-tracing per invocation. `embed_fn` takes
+    `(rgb_u8, flow_u8, rng, chunk_i)` — the `make_variant_embed`
+    contract; a legacy 3-arg `fn(rgb, flow, rng)` is also accepted (the
+    per-chunk index is then dropped, so such a fn draws the same jitter
+    factors every chunk). `shard_reader`
     (`data.shards.ShardReader` built with crop_root) replaces PNG decode
     with a memmap gather for packed crops; unpacked crops fall back to
     the decoder per row.
@@ -166,6 +170,16 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             'jitter/no_flip alongside it would be silently ignored')
     embed = embed_fn if embed_fn is not None else make_variant_embed(
         model, variables, config, jitter=jitter, flip=not no_flip)
+    if embed_fn is not None:
+        import inspect
+
+        try:
+            n_params = len(inspect.signature(embed).parameters)
+        except (TypeError, ValueError):  # C-level callable: assume new
+            n_params = 4
+        if n_params < 4:  # legacy fn(rgb, flow, rng)
+            legacy = embed
+            embed = lambda rgb, flow, rng, chunk_i: legacy(rgb, flow, rng)
     rng = jax.random.key(seed)
     chunk_counter = itertools.count()
 

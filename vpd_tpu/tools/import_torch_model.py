@@ -12,7 +12,7 @@ copies the manifest and converts every encoder checkpoint via
 `models/torch_compat.py` (NCHW->NHWC / (O,I)->(I,O) transposes, BN
 running stats into `batch_stats`); embedding parity of the converted
 weights is < 1e-3 cosine (BASELINE.md target; oracle-tested end-to-end
-in tests/test_reference_oracle_tools.py).
+in tests/test_reference_oracle.py, test_import_torch_model_*).
 
 Decoder / optimizer .pt files are training state and are not needed to
 apply a model; they are skipped (a converted dir supports extraction
@@ -23,7 +23,8 @@ import argparse
 import os
 import re
 
-CKPT_RE = re.compile(r'^(best_epoch|epoch\d{4})\.encoder\.pt$')
+# {:04d} widens past 9999, so epochs need 4-or-more digits
+CKPT_RE = re.compile(r'^(best_epoch|epoch\d{4,})\.encoder\.pt$')
 
 
 def main(model_dir, out_dir):
