@@ -73,7 +73,7 @@ def main():
     rng = np.random.default_rng(0)
     best = 0.0
     depth = 4  # enqueue-ahead amortizes the relay round-trip
-    ladder = [(1024, 3), (8192, 4)]
+    ladder = [(1024, 3), (8192, 4), (16384, 4)]
     if os.environ.get('VPD_BENCH_BATCHES'):  # debug override
         ladder = [(int(b), 3)
                   for b in os.environ['VPD_BENCH_BATCHES'].split(',')]
