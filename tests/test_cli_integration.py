@@ -118,6 +118,21 @@ def test_extract_square_crops_cli(tmp_path):
     crop = cv2.imread(os.path.join(out_dir, 'vid', '3.png'))
     assert crop.shape == (32, 32, 3)
 
+    # --visualize on a headless host saves the crop strips under .viz/
+    # (reference shows a cv2 window, extract_square_crops.py:118-120)
+    viz_out = str(tmp_path / 'crops_viz')
+    crops_main(str(pose_dir), str(video_dir), viz_out, dim=32,
+               target_fps=None, num_prev_frames=1, no_smooth=False,
+               parallelism=1, visualize=True)
+    viz_dir = os.path.join(viz_out, 'vid', '.viz')
+    assert os.path.isdir(viz_dir) and '0.png' in os.listdir(viz_dir)
+    strip = cv2.imread(os.path.join(viz_dir, '0.png'))
+    assert strip.shape == (32, 64, 3)  # crop + 1 prev, hstacked
+    # the hidden .viz dir must be invisible to the shard packer
+    from vpd_tpu.data.shards import scan_png_tree
+    prefixes = {rel for rel, _ in scan_png_tree(viz_out)}
+    assert not any('.viz' in p for p in prefixes) and 'vid/0' in prefixes
+
 
 def test_preprocess_3d_pose_cli(tmp_path):
     from vpd_tpu.tools.preprocess_3d_pose import main as prep_main
@@ -134,10 +149,15 @@ def test_preprocess_3d_pose_cli(tmp_path):
     with open(person_dir / 'release_alfred_2ku.pkl', 'wb') as fp:
         pickle.dump({'j3d': j3d}, fp)
     out = str(tmp_path / 'nba2k.pkl')
-    prep_main(str(nba_dir), 'nba2k', out)
+    prep_main(str(nba_dir), 'nba2k', out, visualize=True,
+              visualize_frequency=2)
     with open(out, 'rb') as fp:
         data = pickle.load(fp)
     assert ('alfred',) in data
+    # headless --visualize saved front/side previews for frames 0 and 2
+    viz = sorted(os.listdir(out + '.viz'))
+    assert viz == ['000000.front.png', '000000.side.png',
+                   '000002.front.png', '000002.side.png']
     assert data[('alfred',)][0][2].shape == (24, 3)
 
     # --- amass layout

@@ -118,6 +118,29 @@ def test_run_localization_end_to_end():
     assert aps.max() > 0.5
 
 
+def test_run_localization_all_videos(tmp_path):
+    """--_all scores every embedded video, not just the test split
+    (reference detect.py:91,336-338): the prediction json gains the
+    train videos too; the AP tables still evaluate the same test
+    intervals."""
+    import json
+    import os
+
+    emb_dict, labels = _dense_videos()
+    train = [l for l in labels if not l.video.endswith('5')]
+    test = [l for l in labels if l.video.endswith('5')]
+    kw = dict(n_trials=1, k=1, hidden_dim=16, batch_size=16,
+              samples_per_epoch=64, seq_len=64, num_epochs=1,
+              min_epochs=1, log=lambda *a: None)
+    out_all = str(tmp_path / 'all')
+    run_localization('fs_jump', emb_dict, train, test, out_dir=out_all,
+                     _all=True, **kw)
+    (pred_file,) = os.listdir(out_all)
+    with open(os.path.join(out_all, pred_file)) as fp:
+        preds = json.load(fp)
+    assert set(preds) == set(emb_dict)
+
+
 def _recognition_data(num_classes=3, per_class=8, t=20, dim=6, seed=0):
     rng = np.random.default_rng(seed)
     embs, labels = {}, {}

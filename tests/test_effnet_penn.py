@@ -116,6 +116,34 @@ def test_penn_scan_and_batches(tmp_path):
     assert batch['emb'].shape == (4, 4)
 
 
+def test_train_vpd_penn_cli(tmp_path, monkeypatch):
+    """The penn ablation end to end through the train_vpd tool
+    (reference `train_vpd_model.py:49,162-166`)."""
+    import vpd_tpu.tools.train_vpd as tv
+    from vpd_tpu.tools.train_vpd import main
+
+    real = tv.make_penn_sources
+
+    def small(*a, **k):  # shrink the 20000/4000 virtual epochs
+        tr, va, dim = real(*a, **k)
+        tr.target_len, va.target_len = 32, 16
+        return tr, va, dim
+
+    monkeypatch.setattr(tv, 'make_penn_sources', small)
+    penn_dir, frame_dir = _make_penn_dir(tmp_path)
+    save_dir = str(tmp_path / 'model')
+    main('penn', save_dir, 1, 1, 8, 5e-4, 32, None, False, 'resnet18',
+         5, False, False, None, None, 0, penn_dir=penn_dir,
+         penn_frame_dir=frame_dir)
+    with open(os.path.join(save_dir, 'config.json')) as fp:
+        config = json.load(fp)
+    assert config['dataset'] == 'penn' and config['emb_dim'] == 4
+    with open(os.path.join(save_dir, 'loss.json')) as fp:
+        losses = json.load(fp)
+    assert np.isfinite(losses[0]['train']) and np.isfinite(
+        losses[0]['val'])
+
+
 def test_step_timer():
     timer = StepTimer(items_per_step=10, warmup=1)
     timer.start()

@@ -46,12 +46,14 @@ def scan_png_tree(img_dir):
     out = []
     for video in sorted(os.listdir(img_dir)):
         vdir = os.path.join(img_dir, video)
-        if not os.path.isdir(vdir):
+        if video.startswith('.') or not os.path.isdir(vdir):
             continue
         leaves = [(vdir, video)]
         for sub in sorted(os.listdir(vdir)):
             sdir = os.path.join(vdir, sub)
-            if os.path.isdir(sdir):
+            # skip hidden dirs (e.g. the .viz previews
+            # extract_square_crops --visualize writes on headless hosts)
+            if not sub.startswith('.') and os.path.isdir(sdir):
                 leaves.append((sdir, video + '/' + sub))
         for leaf_dir, rel_base in leaves:
             for f in os.listdir(leaf_dir):

@@ -179,7 +179,7 @@ def evaluate_proposals(results, test_video_ints, thresholds,
 def run_localization(dataset_name, emb_dict, train_examples, test_examples,
                      n_trials=1, algorithm='gru', k=1, hidden_dim=128,
                      batch_size=None, few_shot_videos_fn=None,
-                     n_examples=-1, out_dir=None, log=print,
+                     n_examples=-1, out_dir=None, log=print, _all=False,
                      **model_kwargs):
     """Full protocol (`detect.py:291-435`). Returns list of AP tables."""
     test_video_ints = get_video_intervals(test_examples)
@@ -209,10 +209,14 @@ def run_localization(dataset_name, emb_dict, train_examples, test_examples,
 
         model = ProposalModel(algorithm, emb_dict, exp_train, hidden_dim,
                               ensemble_size=k, **model_kwargs)
+        # --_all scores every embedded video, not just the test split
+        # (reference detect.py:91,336-338; the AP eval below still only
+        # sees test intervals, extra videos count as pure predictions)
         results = [
             (video, model.predict(video))
-            for video in sorted({l.video for l in test_examples
-                                 if l.video in emb_dict})]
+            for video in sorted(
+                set(emb_dict) if _all else
+                {l.video for l in test_examples if l.video in emb_dict})]
         if out_dir:
             # per-frame prediction scores (detect.py:345-352 parity,
             # with the reference's NameError at :351 fixed)

@@ -36,14 +36,27 @@ def get_args():
     parser.add_argument('--small', action='store_true',
                         help='raft-small architecture (auto-detected from '
                              '--raft_weights; needed only without weights)')
+    # reference raft/flow.py:133-135 knobs, kept for drop-in argv
+    # compatibility (incl. the reference's type=bool quirk where any
+    # non-empty value parses as True)
+    parser.add_argument('--mixed_precision', type=bool, default=True,
+                        help='bf16 RAFT compute (the CUDA AMP analogue); '
+                             'ignored for --model lk')
+    parser.add_argument('--alternate_corr', action='store_true',
+                        help='accepted for reference compatibility; the '
+                             'correlation volume here is already the '
+                             'memory-efficient MXU-matmul form')
     return parser.parse_args()
 
 
-def build_flow_fn(model, raft_weights=None, raft_iters=20, small=False):
+def build_flow_fn(model, raft_weights=None, raft_iters=20, small=False,
+                  mixed_precision=True):
     if model == 'lk':
         return lucas_kanade_flow
+    import jax.numpy as jnp
     from ..models.raft import (RAFT, import_torch_raft,
                                is_small_state_dict, raft_flow_fn)
+    dtype = jnp.bfloat16 if mixed_precision else None
     if raft_weights:
         from ..models.torch_compat import load_torch_state_dict
         sd = load_torch_state_dict(raft_weights)
@@ -51,11 +64,11 @@ def build_flow_fn(model, raft_weights=None, raft_iters=20, small=False):
         variables = import_torch_raft(sd)
     else:  # random init: only useful for smoke tests
         import jax
-        import jax.numpy as jnp
         m = RAFT(small=small)
         z = jnp.zeros((1, 64, 64, 3))
         variables = m.init(jax.random.key(0), z, z, iters=1)
-    return raft_flow_fn(variables, iters=raft_iters, small=small)
+    return raft_flow_fn(variables, iters=raft_iters, small=small,
+                        dtype=dtype)
 
 
 def get_pairs(crop_dir, out_suffix, overwrite):
@@ -73,7 +86,8 @@ def get_pairs(crop_dir, out_suffix, overwrite):
 
 def main(path, out_name, clip, img_dim, batch_size, overwrite,
          subtract_median_flag=False, model='lk', raft_weights=None,
-         raft_iters=20, small=False):
+         raft_iters=20, small=False, mixed_precision=True,
+         alternate_corr=False):
     """Pipelined: decode chunk i+1 on a worker thread and PNG-write chunk
     i-1 while the device computes chunk i; flow is quantized to uint8 ON
     DEVICE (ops/flow.py quantize_flow_device), cutting readback 4x —
@@ -84,8 +98,10 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
     out_suffix = '.{}.png'.format(out_name)
     pairs = get_pairs(path, out_suffix, overwrite)
     print('{} frame pairs to process'.format(len(pairs)))
+    del alternate_corr  # the corr volume is already the matmul form
     qfn = make_quantized_flow_fn(
-        build_flow_fn(model, raft_weights, raft_iters, small=small),
+        build_flow_fn(model, raft_weights, raft_iters, small=small,
+                      mixed_precision=mixed_precision),
         clip=clip,
         subtract_median=sub_median)
 
@@ -131,4 +147,5 @@ if __name__ == '__main__':
     main(a.path, a.out_name, a.clip, a.img_dim, a.batch_size, a.overwrite,
          subtract_median_flag=a.subtract_median, model=a.model,
          raft_weights=a.raft_weights, raft_iters=a.raft_iters,
-         small=a.small)
+         small=a.small, mixed_precision=a.mixed_precision,
+         alternate_corr=a.alternate_corr)

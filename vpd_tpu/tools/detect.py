@@ -29,6 +29,9 @@ def get_args():
                         default='gru')
     parser.add_argument('-ne', '--n_examples', type=int, default=-1)
     parser.add_argument('-tw', '--tennis_window', type=float)
+    parser.add_argument('--_all', action='store_true',
+                        help='score every embedded video, not just the '
+                             'test split (reference detect.py:91)')
     parser.add_argument('--norm', action='store_true')
     parser.add_argument('--hidden_dim', type=int, default=128)
     parser.add_argument('--batch_size', type=int)
@@ -140,7 +143,7 @@ def load_fx_labels(config, test_frac=0.25, seed=0,
 
 
 def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
-         tennis_window, norm, hidden_dim, batch_size):
+         tennis_window, norm, hidden_dim, batch_size, _all=False):
     config = DATA_CONFIGS[dataset]
     emb_dict = load_embs(emb_dir, norm)
 
@@ -169,7 +172,7 @@ def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
         dataset, emb_dict, train_labels, test_labels, n_trials=n_trials,
         algorithm=algorithm, k=k, hidden_dim=hidden_dim,
         batch_size=batch_size, few_shot_videos_fn=few_shot_videos,
-        n_examples=n_examples, out_dir=out_dir)
+        n_examples=n_examples, out_dir=out_dir, _all=_all)
 
     mean = np.mean(trial_results, axis=0)
     print('AP table (rows=thresholds {}, cols=tIoU {}):'.format(

@@ -31,6 +31,9 @@ def get_args():
     parser.add_argument('--num_prev_frames', type=int, default=1)
     parser.add_argument('--no_smooth', action='store_true')
     parser.add_argument('--parallelism', type=int)
+    parser.add_argument('-v', '--visualize', action='store_true',
+                        help='show (or, headless, save under .viz/) the '
+                             'crop strips while extracting')
     return parser.parse_args()
 
 
@@ -49,7 +52,7 @@ class DelayBuffer:
 
 
 def extract_crops(video_path, box_dict, mask_dict, out_dir, dim, target_fps,
-                  num_prev_frames, smooth_boxes):
+                  num_prev_frames, smooth_boxes, visualize=False):
     import cv2
     cv2.setNumThreads(0)
     png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
@@ -108,6 +111,22 @@ def extract_crops(video_path, box_dict, mask_dict, out_dir, dim, target_fps,
                 if mask_crop is not None:
                     mask_crop = cv2.resize(mask_crop, (dim, dim))
 
+            if visualize:
+                # reference extract_square_crops.py:118-120 shows the
+                # crop strip in a window; headless hosts get a saved
+                # strip under <out_dir>/.viz instead. Gate on DISPLAY:
+                # a headless cv2.imshow is a FATAL Qt abort (SIGABRT,
+                # not catchable), which would kill the pool worker.
+                strip = np.hstack((crop, *prev_crops))
+                if os.environ.get('DISPLAY'):
+                    cv2.imshow('person', strip)
+                    cv2.waitKey(100)
+                elif out_dir is not None:
+                    viz_dir = os.path.join(out_dir, '.viz')
+                    os.makedirs(viz_dir, exist_ok=True)
+                    cv2.imwrite(os.path.join(
+                        viz_dir, '{}.png'.format(frame_num)), strip)
+
             if out_dir is not None:
                 cv2.imwrite(os.path.join(
                     out_dir, '{}.png'.format(frame_num)), crop,
@@ -127,7 +146,8 @@ def extract_crops(video_path, box_dict, mask_dict, out_dir, dim, target_fps,
 
 
 def extract_crops_for_video(video_name, boxes, video_dir, pose_dir, out_dir,
-                            dim, target_fps, num_prev_frames, smooth):
+                            dim, target_fps, num_prev_frames, smooth,
+                            visualize=False):
     video_path = os.path.join(video_dir, video_name + '.mp4')
     video_out_dir = None
     if out_dir is not None:
@@ -137,7 +157,7 @@ def extract_crops_for_video(video_name, boxes, video_dir, pose_dir, out_dir,
     mask_dict = dict(load_gz_json(
         os.path.join(pose_dir, video_name, 'mask.json.gz')))
     extract_crops(video_path, box_dict, mask_dict, video_out_dir, dim,
-                  target_fps, num_prev_frames, smooth)
+                  target_fps, num_prev_frames, smooth, visualize=visualize)
     return video_name
 
 
@@ -146,15 +166,17 @@ def _worker(args):
 
 
 def main(pose_dir, video_dir, out_dir, dim, target_fps, num_prev_frames,
-         no_smooth, parallelism):
+         no_smooth, parallelism, visualize=False):
     video_names = [x for x in os.listdir(pose_dir)
                    if os.path.isdir(os.path.join(pose_dir, x))]
     box_dict = {v: load_json(os.path.join(pose_dir, v, 'boxes.json'))
                 for v in video_names}
     worker_args = [
         (v, box_dict[v], video_dir, pose_dir, out_dir, dim, target_fps,
-         num_prev_frames, not no_smooth) for v in video_names]
+         num_prev_frames, not no_smooth, visualize) for v in video_names]
 
+    if visualize:  # one window/viz stream (reference :170-173)
+        parallelism = 1
     parallelism = parallelism or max(1, (os.cpu_count() or 2) // 2)
     with Pool(parallelism) as p:
         for video_name in p.imap_unordered(_worker, worker_args):

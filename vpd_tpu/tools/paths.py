@@ -28,6 +28,11 @@ TENNIS_POSE_DIR = join(TENNIS_ROOT_DIR, 'pose')
 TENNIS_VIDEO_DIR = join(TENNIS_ROOT_DIR, 'videos')
 TENNIS_CROP_DIR = join(TENNIS_ROOT_DIR, 'player-crops')
 
+# Penn Action full frames (the reference hardcodes an absolute machine
+# path, `vpd_dataset/single_frame.py:278`; here it is env-overridable)
+PENN_FRAME_DIR = os.environ.get(
+    'VPD_PENN_FRAME_DIR', join(SPORTS_ROOT_DIR, 'penn-action', 'frames'))
+
 VIPE_DATA_DIR = os.environ.get('VPD_VIPE_DATA_DIR', 'data/vipe')
 
 PEOPLE_3D_3D_POSE_FILE = join(VIPE_DATA_DIR, '3dpeople',

@@ -16,6 +16,10 @@ def get_args():
     parser.add_argument('-e', '--max_epoch', type=int)
     parser.add_argument('-o', '--out_file', type=str,
                         help='Save plot instead of showing it')
+    parser.add_argument('-p', '--pause', type=int, default=60,
+                        help='minutes an interactive window stays open '
+                             '(reference plot_losses.py:15,66; only '
+                             'used with a display and no --out_file)')
     return parser.parse_args()
 
 
@@ -33,9 +37,11 @@ def smooth(x, window):
             for i in range(len(x))]
 
 
-def main(model_dir, max_epoch, out_file):
+def main(model_dir, max_epoch, out_file, pause=60):
     import matplotlib
-    matplotlib.use('Agg')
+    interactive = out_file is None and bool(os.environ.get('DISPLAY'))
+    if not interactive:
+        matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
     losses = load_json(os.path.join(model_dir, 'loss.json'))
@@ -47,6 +53,11 @@ def main(model_dir, max_epoch, out_file):
             best_epoch, best_val_loss = l['epoch'], l['val']
     print('Best epoch:', best_epoch)
     print('Best val loss:', best_val_loss)
+
+    print()
+    for i in range(3, 11, 2):  # reference plot_losses.py:50-52
+        print('Val loss (smooth: {}):'.format(i),
+              min(smooth([l['val'] for l in losses], i)))
 
     dataset_train = collect_dataset_losses(losses, 'dataset_train')
     dataset_val = collect_dataset_losses(losses, 'dataset_val')
@@ -84,9 +95,16 @@ def main(model_dir, max_epoch, out_file):
         sub_ax.legend(loc='upper right')
 
     plt.tight_layout()
-    out_file = out_file or os.path.join(model_dir, 'losses.pdf')
-    plt.savefig(out_file)
-    print('Saved:', out_file)
+    if interactive:
+        # window auto-closes after `pause` minutes (reference :66-67)
+        timer = fig.canvas.new_timer(interval=60000 * pause)
+        timer.add_callback(plt.close)
+        timer.start()
+        plt.show()
+    else:
+        out_file = out_file or os.path.join(model_dir, 'losses.pdf')
+        plt.savefig(out_file)
+        print('Saved:', out_file)
 
 
 if __name__ == '__main__':

@@ -21,10 +21,51 @@ def get_args():
     parser.add_argument('data_dir')
     parser.add_argument('dataset', choices=DATASETS)
     parser.add_argument('-o', '--out_file', type=str)
+    parser.add_argument('-v', '--visualize', action='store_true',
+                        help='preview every Nth canonical skeleton '
+                             '(front + side projections); windows when '
+                             'a display exists, PNGs under '
+                             '<out_file>.viz/ otherwise')
+    parser.add_argument('-vf', '--visualize_frequency', type=int,
+                        default=25)
     return parser.parse_args()
 
 
-def process_3dpeople(data_dir):
+def make_viz(visualize, frequency, out_file):
+    """Per-frame previewer (reference `preprocess_3d_pose.py:26-27` +
+    the cv2.imshow calls inside each raw loader). Renders the canonical
+    offsets front-on (x, z) and side-on (y, z); headless hosts get PNGs
+    under `<out_file>.viz/` instead of windows."""
+    if not visualize:
+        return lambda skel: None
+    from ..geometry.render import render_points
+
+    state = {'i': 0}
+    viz_dir = (out_file or 'pose3d') + '.viz'
+
+    def viz(skel):
+        i, state['i'] = state['i'], state['i'] + 1
+        if i % frequency:
+            return
+        _, _, offsets = skel
+        import cv2
+        for name, (a, b) in [('front', (0, 2)), ('side', (1, 2))]:
+            img = render_points(offsets[:, a], offsets[:, b])
+            # DISPLAY gate: headless cv2.imshow is a fatal Qt abort
+            # (SIGABRT), not a catchable cv2.error
+            if os.environ.get('DISPLAY'):
+                cv2.imshow(name, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+                cv2.waitKey(100)
+            else:
+                os.makedirs(viz_dir, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(viz_dir, '{:06d}.{}.png'.format(i, name)),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    return viz
+
+
+def process_3dpeople(data_dir, viz=lambda s: None):
     result = {}
     for person in sorted(os.listdir(data_dir)):
         person_dir = os.path.join(data_dir, person)
@@ -34,13 +75,15 @@ def process_3dpeople(data_dir):
             frame_pose3d = [None] * len(frames)
             for frame in frames:
                 frame_no = int(os.path.splitext(frame)[0])
-                frame_pose3d[frame_no - 1] = people3d.load_raw_skeleton(
+                skel = people3d.load_raw_skeleton(
                     os.path.join(action_cam_dir, frame))
+                viz(skel)
+                frame_pose3d[frame_no - 1] = skel
             result[(person, action)] = frame_pose3d
     return result
 
 
-def process_human36m(data_dir):
+def process_human36m(data_dir, viz=lambda s: None):
     import cdflib  # optional dep; only needed for this dataset
 
     result = {}
@@ -52,13 +95,15 @@ def process_human36m(data_dir):
             cdf_data = cdflib.CDF(os.path.join(pose_dir, action_file))
             raw_poses = cdf_data.varget('Pose').squeeze()
             cdf_data.close()
-            result[(person, action)] = [
-                human36m.load_raw_skeleton(raw_poses[j, :])
-                for j in range(raw_poses.shape[0])]
+            skels = [human36m.load_raw_skeleton(raw_poses[j, :])
+                     for j in range(raw_poses.shape[0])]
+            for s in skels:
+                viz(s)
+            result[(person, action)] = skels
     return result
 
 
-def process_nba2k(data_dir):
+def process_nba2k(data_dir, viz=lambda s: None):
     result = {}
     for person in os.listdir(data_dir):
         pose_data = load_pickle(os.path.join(
@@ -67,11 +112,14 @@ def process_nba2k(data_dir):
             os.path.join(data_dir, person, 'images', '2ku')))
         j3d = pose_data['j3d']
         assert len(frames) == len(j3d)
-        result[(person,)] = [nba2k.load_raw_skeleton(j) for j in j3d]
+        skels = [nba2k.load_raw_skeleton(j) for j in j3d]
+        for s in skels:
+            viz(s)
+        result[(person,)] = skels
     return result
 
 
-def process_amass(data_dir):
+def process_amass(data_dir, viz=lambda s: None):
     result = {}
     for seq in sorted(os.listdir(data_dir)):
         pose_file = os.path.join(data_dir, seq, 'pose.npy')
@@ -83,9 +131,11 @@ def process_amass(data_dir):
             if f.endswith(('jpg', 'png'))})
         assert len(frames) == pose_arr.shape[0], seq
         dataset, action = seq.split('_', 1)
-        result[(dataset, action)] = [
-            amass.load_raw_skeleton(pose_arr[j]) for j in
-            range(pose_arr.shape[0])]
+        skels = [amass.load_raw_skeleton(pose_arr[j])
+                 for j in range(pose_arr.shape[0])]
+        for s in skels:
+            viz(s)
+        result[(dataset, action)] = skels
     return result
 
 
@@ -97,8 +147,10 @@ PROCESSORS = {
 }
 
 
-def main(data_dir, dataset, out_file):
-    pose3d = PROCESSORS[dataset](data_dir)
+def main(data_dir, dataset, out_file, visualize=False,
+         visualize_frequency=25):
+    viz = make_viz(visualize, visualize_frequency, out_file)
+    pose3d = PROCESSORS[dataset](data_dir, viz)
     if out_file is not None:
         store_pickle(out_file, pose3d)
     print('Done!')

@@ -4,13 +4,15 @@
 import argparse
 import os
 
+import numpy as np
+
 from ..data.crops import (CropBatchSource, PrefetchedSource, scan_emb_dir,
                           train_val_split)
 from ..datasets.eval_splits import get_test_prefixes
 from ..train.vpd_loop import VPDTrainer, default_config
 from . import paths
 
-DATASETS = ['tennis', 'fs', 'fx', 'diving48']
+DATASETS = ['tennis', 'fs', 'fx', 'diving48', 'penn']
 
 CROP_DIRS = {
     'tennis': paths.TENNIS_CROP_DIR,
@@ -47,6 +49,14 @@ def get_args():
     parser.add_argument('--no_test_video', action='store_true')
     parser.add_argument('--min_pose_score', type=float)
     parser.add_argument('--emb_dir', type=str)
+    parser.add_argument('--penn_dir', type=str,
+                        help='Penn Action dir holding pose_embs.pkl + '
+                             'boxes.json (required for the penn '
+                             'ablation, train_vpd_model.py:49)')
+    parser.add_argument('--penn_frame_dir', type=str,
+                        help='Penn Action full-frame dir (default '
+                             'paths.PENN_FRAME_DIR; the reference '
+                             'hardcodes this path)')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--num_workers', type=int, default=0,
                         help='decode/sample worker processes '
@@ -86,12 +96,70 @@ def get_exclude_prefixes(dataset):
     raise NotImplementedError(dataset)
 
 
+def make_penn_sources(penn_dir, frame_dir, img_dim, batch_size, *,
+                      motion=False, min_pose_score=None, seed=0):
+    """Penn Action ablation sources (reference PennDataset.load_default,
+    `vpd_dataset/single_frame.py:316-358`): scan, 80/20 split (sorted
+    like the reference), train augmented / val deterministic with the
+    0.2x virtual epoch."""
+    from ..data.penn import PennBatchSource, scan_penn_dir
+
+    scan_kw = {'embed_time': motion}
+    if min_pose_score is not None:
+        scan_kw['min_pose_score'] = min_pose_score
+    samples, emb_dim = scan_penn_dir(penn_dir, **scan_kw)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(samples))
+    n_val = round(0.2 * len(samples))
+    val = sorted(samples[i] for i in order[:n_val])
+    train = sorted(samples[i] for i in order[n_val:])
+    train_src = PennBatchSource(train, frame_dir, img_dim, batch_size,
+                                target_len=20000, seed=seed)
+    val_src = PennBatchSource(val, frame_dir, img_dim, batch_size,
+                              target_len=4000, augment=False,
+                              seed=seed + 1)
+    return train_src, val_src, emb_dim
+
+
 def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          learning_rate, img_dim, flow_img, motion, encoder_arch,
          model_select_window, pretrained, no_test_video, min_pose_score,
          emb_dir, seed, num_workers=0, init_weights=None,
          crop_shards=None, augment_val=False, hbm_cache=False,
-         hbm_cache_sharded=False):
+         hbm_cache_sharded=False, penn_dir=None, penn_frame_dir=None):
+    if dataset == 'penn':
+        # full-frame on-the-fly crops; no crop dir / shards / flow
+        # (reference PennDataset raises NotImplementedError for flow)
+        assert penn_dir is not None, 'penn requires --penn_dir'
+        assert flow_img is None, 'penn has no optical flow'
+        assert not (crop_shards or hbm_cache or hbm_cache_sharded
+                    or num_workers or augment_val), \
+            'penn supports none of shards/hbm_cache/workers/augment_val'
+        train_src, val_src, emb_dim = make_penn_sources(
+            penn_dir, penn_frame_dir or paths.PENN_FRAME_DIR, img_dim,
+            batch_size, motion=motion, min_pose_score=min_pose_score,
+            seed=seed)
+        from ..core.mesh import get_mesh, shard_batch
+        mesh = get_mesh()
+        to_device = ((lambda b: shard_batch(b, mesh)) if mesh.size == 1
+                     else None)
+        train_src = PrefetchedSource(train_src, transform=to_device)
+        val_src = PrefetchedSource(val_src, transform=to_device)
+        config = default_config(
+            dataset, emb_dim, num_epochs=num_epochs,
+            batch_size=batch_size, learning_rate=learning_rate,
+            img_dim=img_dim, use_flow=False, motion=motion,
+            encoder_arch=encoder_arch, pretrained=pretrained,
+            model_select_window=model_select_window,
+            checkpoint_frequency=checkpoint_frequency)
+        trainer = VPDTrainer(train_src, val_src, config,
+                             save_dir=save_dir, mesh=mesh, seed=seed,
+                             pretrained_weights=init_weights)
+        trainer.save_config()
+        trainer.fit()
+        print('Done!')
+        return
+
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
     exclude = get_exclude_prefixes(dataset) if no_test_video else None
