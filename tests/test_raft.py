@@ -131,6 +131,31 @@ def test_compute_flow_cli_raft(tmp_path):
         assert (out[..., 2] == 128).all()  # quantized-PNG third channel
 
 
+def test_compute_flow_cli_model_checkpoint_path(tiny_raft, tmp_path):
+    """Reference argv drop-in (raft/flow.py:128-129): --model takes a
+    torch checkpoint PATH, which must imply raft + those weights."""
+    cv2 = pytest.importorskip('cv2')
+    torch = pytest.importorskip('torch')
+    from vpd_tpu.tools import compute_flow
+
+    _, variables = tiny_raft
+    ckpt = str(tmp_path / 'raft-things.pth')
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in export_torch_raft(variables).items()}, ckpt)
+
+    vid = tmp_path / 'vid0'
+    vid.mkdir()
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    cv2.imwrite(str(vid / '3.png'), np.roll(base, 3, axis=1))
+    cv2.imwrite(str(vid / '3.prev.png'), np.roll(base, 2, axis=1))
+    compute_flow.main(str(tmp_path), 'flow', clip=20, img_dim=64,
+                      batch_size=1, overwrite=False, model=ckpt,
+                      raft_iters=2)
+    out = cv2.imread(str(vid / '3.flow.png'))
+    assert out is not None and (out[..., 2] == 128).all()
+
+
 def test_torch_mapping_round_trip_and_official_keys(tiny_raft):
     _, variables = tiny_raft
     sd = export_torch_raft(variables)

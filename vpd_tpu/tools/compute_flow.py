@@ -29,7 +29,12 @@ def get_args():
     parser.add_argument('--batch_size', type=int, default=256)
     parser.add_argument('--overwrite', action='store_true')
     parser.add_argument('--subtract_median', action='store_true')
-    parser.add_argument('--model', choices=['lk', 'raft'], default='lk')
+    parser.add_argument('--model', default='lk',
+                        help="'lk' (TPU Lucas-Kanade), 'raft', or — for "
+                             "drop-in reference argv compatibility "
+                             "(raft/flow.py:128-129) — a torch RAFT "
+                             "checkpoint path, which implies "
+                             "--model raft --raft_weights <path>")
     parser.add_argument('--raft_weights', type=str,
                         help='torch RAFT checkpoint (.pth) for --model raft')
     parser.add_argument('--raft_iters', type=int, default=20)
@@ -94,6 +99,8 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
     readback, not compute, dominates RAFT through the relay."""
     from ..ops.flow import make_quantized_flow_fn
 
+    if model not in ('lk', 'raft'):  # reference-style checkpoint path
+        raft_weights, model = model, 'raft'
     sub_median = subtract_median_flag
     out_suffix = '.{}.png'.format(out_name)
     pairs = get_pairs(path, out_suffix, overwrite)
