@@ -37,6 +37,14 @@ def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
                     'diving48': paths.DIVING48_CROP_DIR}[dataset]
         videos, tasks = scan_crop_dir(crop_dir)
 
+    # reference batch scaling (`apply_vpd_model.py:145-149`): the device
+    # program embeds (B, variants, D), so divide the base batch by the
+    # jitter variants and double it when flips are off — keeps device
+    # memory constant as the variant count changes
+    batch_size = batch_size // (jitter + 1)
+    if no_flip:
+        batch_size *= 2
+
     shard_reader = None
     if crop_shards:
         from ..data.shards import ShardReader
