@@ -1683,3 +1683,121 @@ def test_import_torch_model_effnet_rejected(tmp_path):
                    'rgb_mean_std': [[.4] * 3, [.2] * 3]}, fp)
     with pytest.raises(SystemExit, match='resnet'):
         import_main(str(ref_dir), str(tmp_path / 'out'))
+
+
+# ---------------------------------------------------------------------------
+# tools/export_torch_model.py: models trained HERE -> reference .pt dirs
+# ---------------------------------------------------------------------------
+
+def _randomized_stats(stats, seed):
+    """Non-trivial batch_stats so the export must move them correctly."""
+    rng = np.random.default_rng(seed)
+
+    def fix(d):
+        return {k: ({'mean': rng.normal(0, .05, v['mean'].shape)
+                              .astype(np.float32),
+                     'var': rng.uniform(.5, 1.5, v['var'].shape)
+                              .astype(np.float32)}
+                    if set(v) == {'mean', 'var'} else fix(v))
+                for k, v in d.items()}
+
+    return fix(stats)
+
+
+def test_export_torch_model_vipe(tmp_path):
+    """A VIPE encoder trained here, exported by the export tool, loads
+    STRICTLY into the reference's real FCResNet (models/module.py:178-190,
+    the apply_vipe_model.py load path) and embeds identically."""
+    import models.module as mm
+
+    import jax
+    import jax.numpy as jnp
+    from vpd_tpu.core import checkpoint as ckpt
+    from vpd_tpu.geometry.coco import pose_input_dim
+    from vpd_tpu.models.fc import FCResNet
+    from vpd_tpu.tools.export_torch_model import main as export_main
+
+    in_dim = pose_input_dim(False)
+    ours = FCResNet(EMB, BLOCKS, HID, dtype=jnp.float32)
+    variables = ours.init(jax.random.key(21), jnp.zeros((1, in_dim)))
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    stats = _randomized_stats(
+        jax.tree_util.tree_map(np.asarray, variables['batch_stats']), 22)
+
+    model_dir = str(tmp_path / 'ours')
+    os.makedirs(model_dir)
+    with open(os.path.join(model_dir, 'config.json'), 'w') as fp:
+        json.dump({
+            'datasets': [{'name': 'human36m', '3d_pose_shape': [14, 3],
+                          'mean_kp_offset_norms': [1.0] * 20}],
+            'num_epochs': 500, 'learning_rate': 1e-4, 'batch_size': 100,
+            'embedding_dim': EMB, 'encoder_arch': [BLOCKS, HID],
+            'decoder_arch': [2, 16], 'embed_bones': False,
+            'augment_camera': True}, fp)
+    ckpt.save_component(model_dir, 'best_epoch', 'encoder',
+                        {'params': params, 'batch_stats': stats})
+
+    out_dir = str(tmp_path / 'exported')
+    export_main(model_dir, out_dir)
+
+    tmod = mm.FCResNet(in_dim, EMB, BLOCKS, HID)
+    sd = torch.load(os.path.join(out_dir, 'best_epoch.encoder.pt'))
+    tmod.load_state_dict(sd, strict=True)
+    tmod.eval()
+
+    x = np.random.default_rng(23).normal(
+        0, 1, (6, in_dim)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(
+        {'params': params, 'batch_stats': stats}, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_export_torch_model_vpd(tmp_path):
+    """A ResNet student trained here, exported, loads STRICTLY into the
+    reference's RGBF_EmbeddingModel encoder (the apply_vpd_model.py:140-143
+    load path, 'resnet.'-prefixed keys) and embeds identically."""
+    _install_resnet_factories()
+    import models.rgb as ref_rgb
+
+    import jax
+    import jax.numpy as jnp
+    from vpd_tpu.core import checkpoint as ckpt
+    from vpd_tpu.models import build_encoder
+    from vpd_tpu.tools.export_torch_model import main as export_main
+
+    arch, in_ch, emb = 'resnet18', 5, 16
+    ours = build_encoder(arch, emb_dim=emb, dtype=jnp.float32)
+    variables = ours.init(jax.random.key(24), jnp.zeros((1, 32, 32, in_ch)))
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    stats = _randomized_stats(
+        jax.tree_util.tree_map(np.asarray, variables['batch_stats']), 25)
+
+    model_dir = str(tmp_path / 'ours')
+    os.makedirs(model_dir)
+    with open(os.path.join(model_dir, 'config.json'), 'w') as fp:
+        json.dump({
+            'num_epochs': 1000, 'batch_size': 100, 'learning_rate': 5e-4,
+            'img_dim': 32, 'use_flow': True, 'motion': False,
+            'emb_dim': emb, 'encoder_arch': arch,
+            'rgb_mean_std': [[.4] * 3, [.2] * 3]}, fp)
+    ckpt.save_component(model_dir, 'best_epoch', 'encoder',
+                        {'params': params, 'batch_stats': stats})
+
+    out_dir = str(tmp_path / 'exported')
+    export_main(model_dir, out_dir)
+
+    tmod = ref_rgb.RGBF_EmbeddingModel(arch, emb, True, 'cpu')
+    sd = torch.load(os.path.join(out_dir, 'best_epoch.encoder.pt'))
+    tmod.load_state_dict(sd, strict=True)
+    tmod.eval()
+
+    x = np.random.default_rng(26).normal(
+        0, 1, (2, 32, 32, in_ch)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got = np.asarray(ours.apply(
+        {'params': params, 'batch_stats': stats}, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

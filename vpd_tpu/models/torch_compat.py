@@ -1,9 +1,11 @@
-"""Import PyTorch reference checkpoints into the Flax models.
+"""PyTorch <-> Flax checkpoint interchange for the reference's models.
 
 The reference stores torchvision-layout `state_dict`s
 (`{name}.encoder.pt`); this module converts those tensors into this
 framework's NHWC Flax parameter pytrees so reference-trained models can be
-served here with < 1e-3 cosine deviation (BASELINE.md parity target).
+served here with < 1e-3 cosine deviation (BASELINE.md parity target) —
+and exports Flax pytrees back to the torch layout so models trained HERE
+serve in the reference (`export_*_state_dict`, tools/export_torch_model).
 
 Layout mapping (torch -> flax):
   conv weights  (O, I, kh, kw) -> (kh, kw, I, O)
@@ -140,3 +142,103 @@ def load_torch_state_dict(path):
 
     sd = torch.load(path, map_location='cpu')
     return {k: v.numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Export (the inverse direction): serve models trained HERE in the
+# reference codebase. Same layout mapping, transposed back; BatchNorms
+# regain the `num_batches_tracked` counter torch state_dicts carry
+# (strict load_state_dict rejects dicts without it).
+# ---------------------------------------------------------------------------
+
+def _conv_back(k):
+    return np.transpose(np.asarray(k), (3, 2, 0, 1))
+
+
+def _dense_back(k):
+    return np.transpose(np.asarray(k), (1, 0))
+
+
+def _bn_back(prefix, params, stats, out):
+    out[prefix + '.weight'] = np.asarray(params['scale'])
+    out[prefix + '.bias'] = np.asarray(params['bias'])
+    out[prefix + '.running_mean'] = np.asarray(stats['mean'])
+    out[prefix + '.running_var'] = np.asarray(stats['var'])
+    out[prefix + '.num_batches_tracked'] = np.asarray(0, np.int64)
+
+
+def export_resnet_state_dict(params, stats, arch, prefix='resnet.'):
+    """Flax encoder pytrees -> torchvision-layout {key: ndarray}.
+
+    `prefix='resnet.'` matches how the reference saves VPD encoders
+    (RGBF_EmbeddingModel wraps the backbone as `self.resnet`,
+    models/rgb.py:61); pass '' for a bare torchvision ResNet."""
+    cfg = ENCODER_ARCH[arch]
+    is_basic = cfg.block is BasicBlock
+    sd = {prefix + 'conv1.weight': _conv_back(params['Conv_0']['kernel'])}
+    _bn_back(prefix + 'bn1', params['BatchNorm_0'],
+             stats['BatchNorm_0'], sd)
+
+    block_cls = 'BasicBlock' if is_basic else 'Bottleneck'
+    flat = 0
+    for stage, num_blocks in enumerate(cfg.layers, start=1):
+        for i in range(num_blocks):
+            t = '{}layer{}.{}.'.format(prefix, stage, i)
+            bp = params['{}_{}'.format(block_cls, flat)]
+            bs = stats['{}_{}'.format(block_cls, flat)]
+            flat += 1
+            if is_basic:
+                convs = [('conv1', 'Conv_0'), ('conv2', 'Conv_1')]
+                bns = [('bn1', 'BatchNorm_0'), ('bn2', 'bn_last')]
+                down_conv, down_bn = 'Conv_2', 'BatchNorm_1'
+            else:
+                convs = [('conv1', 'Conv_0'), ('conv2', 'Conv_1'),
+                         ('conv3', 'Conv_2')]
+                bns = [('bn1', 'BatchNorm_0'), ('bn2', 'BatchNorm_1'),
+                       ('bn3', 'bn_last')]
+                down_conv, down_bn = 'Conv_3', 'BatchNorm_2'
+            for tname, fname in convs:
+                sd[t + tname + '.weight'] = _conv_back(bp[fname]['kernel'])
+            for tname, fname in bns:
+                _bn_back(t + tname, bp[fname], bs[fname], sd)
+            if down_conv in bp:
+                sd[t + 'downsample.0.weight'] = _conv_back(
+                    bp[down_conv]['kernel'])
+                _bn_back(t + 'downsample.1', bp[down_bn], bs[down_bn], sd)
+
+    sd[prefix + 'fc.weight'] = _dense_back(params['Dense_0']['kernel'])
+    sd[prefix + 'fc.bias'] = np.asarray(params['Dense_0']['bias'])
+    return sd
+
+
+def export_fcresnet_state_dict(params, stats, num_blocks):
+    """Flax FCResNet pytrees -> reference torch layout {key: ndarray}
+    (models/module.py:178-190)."""
+    def lin_back(prefix, p, out):
+        out[prefix + '.weight'] = _dense_back(p['kernel'])
+        out[prefix + '.bias'] = np.asarray(p['bias'])
+
+    sd = {}
+    lin_back('layers.0', params['Dense_0'], sd)
+    for i in range(num_blocks):
+        t = 'layers.{}.block.'.format(2 + i)
+        bp = params['FcResidualBlock_{}'.format(i)]
+        bs = stats['FcResidualBlock_{}'.format(i)]
+        lin_back(t + '0', bp['Dense_0'], sd)
+        _bn_back(t + '1', bp['BatchNorm_0'], bs['BatchNorm_0'], sd)
+        lin_back(t + '4', bp['Dense_1'], sd)
+        _bn_back(t + '5', bp['BatchNorm_1'], bs['BatchNorm_1'], sd)
+    lin_back('layers.{}'.format(2 + num_blocks), params['Dense_1'], sd)
+    return sd
+
+
+def save_torch_state_dict(path, sd):
+    """Save {key: ndarray} as a torch .pt state_dict (torch required).
+
+    float leaves save as float32 tensors; the num_batches_tracked
+    counters stay int64, matching torch BatchNorm buffers."""
+    import torch
+
+    # copy=True: transposed views are non-writable, which torch warns on
+    torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                for k, v in sd.items()}, path)
