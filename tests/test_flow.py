@@ -88,3 +88,34 @@ def test_compute_flow_cli_pipelined_lk(tmp_path):
     for frame in range(2, 7):
         out = cv2.imread(str(vid / '{}.flow.png'.format(frame)))
         assert out is not None and (out[..., 2] == 128).all()
+
+
+def test_mixed_precision_bool_quirk():
+    """The reference's `--mixed_precision` is argparse type=bool
+    (raft/flow.py:133-134): ANY non-empty value — including the string
+    'False' — parses as True; only '' is False. Replicated verbatim for
+    argv compatibility (QUIRKS.md)."""
+    from vpd_tpu.tools.compute_flow import get_args
+
+    base = ['crops', '--out_name', 'flow']
+    assert get_args(base).mixed_precision is True
+    assert get_args(base + ['--mixed_precision', 'False'])\
+        .mixed_precision is True  # the quirk
+    assert get_args(base + ['--mixed_precision', ''])\
+        .mixed_precision is False
+
+
+def test_compute_flow_model_path_guards(tmp_path):
+    """--model <path> implies raft weights, but conflicts and typos must
+    fail loudly, not deep in torch.load."""
+    import pytest
+
+    from vpd_tpu.tools import compute_flow
+
+    with pytest.raises(SystemExit, match='one or the other'):
+        compute_flow.main(str(tmp_path), 'flow', clip=20, img_dim=32,
+                          batch_size=2, overwrite=False,
+                          model='weights.pth', raft_weights='other.pth')
+    with pytest.raises(SystemExit, match="must be 'lk', 'raft'"):
+        compute_flow.main(str(tmp_path), 'flow', clip=20, img_dim=32,
+                          batch_size=2, overwrite=False, model='rfat')

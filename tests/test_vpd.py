@@ -281,13 +281,23 @@ def test_jittered_extraction_variants(tmp_path):
         apply_vpd(videos, tasks, str(tmp_path / 'm'), str(tmp_path / sub),
                   model_epoch=1, batch_size=8, embed_fn=fn,
                   prepared=prepared, log=lambda *a: None)
-    with open(tmp_path / 'o_leg' / 'video0.emb.pkl', 'rb') as fp:
-        leg = pickle.load(fp)
-    with open(tmp_path / 'o_pin' / 'video0.emb.pkl', 'rb') as fp:
-        pin = pickle.load(fp)
-    for (f1, a, _), (f2, b, _) in zip(leg, pin):
-        assert f1 == f2
-        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # a variadic wrapper (*args) must be treated as the NEW 4-arg
+    # contract — misclassifying it as legacy would pin chunk_i to the
+    # wrapped fn's default and freeze the per-chunk jitter draw
+    for sub, fn in [('o_new', new_embed),
+                    ('o_var', lambda *a: new_embed(*a))]:
+        apply_vpd(videos, tasks, str(tmp_path / 'm'), str(tmp_path / sub),
+                  model_epoch=1, batch_size=8, embed_fn=fn,
+                  prepared=prepared, log=lambda *a: None)
+    def load(sub):
+        with open(tmp_path / sub / 'video0.emb.pkl', 'rb') as fp:
+            return pickle.load(fp)
+
+    for x, y in [('o_leg', 'o_pin'), ('o_var', 'o_new')]:
+        for (f1, a, _), (f2, b, _) in zip(load(x), load(y)):
+            assert f1 == f2
+            np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_prefetched_source_adapter(tmp_path):

@@ -174,10 +174,17 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
         import inspect
 
         try:
-            n_params = len(inspect.signature(embed).parameters)
+            ps = inspect.signature(embed).parameters.values()
+            # variadic (*args) accepts the 4-arg call; only a fixed
+            # signature with < 4 positionals is the legacy contract —
+            # misclassifying a wrapped 4-arg fn as legacy would silently
+            # drop chunk_i and freeze the per-chunk jitter draw
+            variadic = any(p.kind == inspect.Parameter.VAR_POSITIONAL
+                           for p in ps)
+            n_params = len(ps)
         except (TypeError, ValueError):  # C-level callable: assume new
-            n_params = 4
-        if n_params < 4:  # legacy fn(rgb, flow, rng)
+            variadic, n_params = True, 4
+        if not variadic and n_params < 4:  # legacy fn(rgb, flow, rng)
             legacy = embed
             embed = lambda rgb, flow, rng, chunk_i: legacy(rgb, flow, rng)
     rng = jax.random.key(seed)

@@ -210,8 +210,11 @@ def run_localization(dataset_name, emb_dict, train_examples, test_examples,
         model = ProposalModel(algorithm, emb_dict, exp_train, hidden_dim,
                               ensemble_size=k, **model_kwargs)
         # --_all scores every embedded video, not just the test split
-        # (reference detect.py:91,336-338; the AP eval below still only
-        # sees test intervals, extra videos count as pure predictions)
+        # (reference detect.py:91,336-338). NOTE: the AP eval below only
+        # has ground-truth intervals for test videos, so proposals on
+        # the extra videos score as false positives and LOWER the AP —
+        # exactly like the reference (detect.py:381-383); --_all is for
+        # exporting predictions (out_dir), not for evaluation
         results = [
             (video, model.predict(video))
             for video in sorted(

@@ -19,7 +19,7 @@ from ..data.crops import decode_crop_batch
 from ..ops.flow import lucas_kanade_flow
 
 
-def get_args():
+def get_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('path', help='crop root (videos as subdirs)')
     parser.add_argument('--out_name', type=str, required=True,
@@ -51,7 +51,7 @@ def get_args():
                         help='accepted for reference compatibility; the '
                              'correlation volume here is already the '
                              'memory-efficient MXU-matmul form')
-    return parser.parse_args()
+    return parser.parse_args(argv)
 
 
 def build_flow_fn(model, raft_weights=None, raft_iters=20, small=False,
@@ -100,6 +100,16 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
     from ..ops.flow import make_quantized_flow_fn
 
     if model not in ('lk', 'raft'):  # reference-style checkpoint path
+        if raft_weights is not None:
+            raise SystemExit(
+                '--model {!r} looks like a checkpoint path but '
+                '--raft_weights {!r} was also given; pass one or the '
+                'other'.format(model, raft_weights))
+        if not os.path.isfile(model):
+            # keep argparse-choices-quality errors for typos
+            raise SystemExit(
+                "--model must be 'lk', 'raft', or an existing torch "
+                'RAFT checkpoint path (got {!r})'.format(model))
         raft_weights, model = model, 'raft'
     sub_median = subtract_median_flag
     out_suffix = '.{}.png'.format(out_name)

@@ -111,21 +111,17 @@ def extract_crops(video_path, box_dict, mask_dict, out_dir, dim, target_fps,
                 if mask_crop is not None:
                     mask_crop = cv2.resize(mask_crop, (dim, dim))
 
-            if visualize:
+            if visualize and (out_dir is not None
+                              or os.environ.get('DISPLAY')):
                 # reference extract_square_crops.py:118-120 shows the
                 # crop strip in a window; headless hosts get a saved
-                # strip under <out_dir>/.viz instead. Gate on DISPLAY:
-                # a headless cv2.imshow is a FATAL Qt abort (SIGABRT,
-                # not catchable), which would kill the pool worker.
-                strip = np.hstack((crop, *prev_crops))
-                if os.environ.get('DISPLAY'):
-                    cv2.imshow('person', strip)
-                    cv2.waitKey(100)
-                elif out_dir is not None:
-                    viz_dir = os.path.join(out_dir, '.viz')
-                    os.makedirs(viz_dir, exist_ok=True)
-                    cv2.imwrite(os.path.join(
-                        viz_dir, '{}.png'.format(frame_num)), strip)
+                # strip under <out_dir>/.viz instead (see utils.display
+                # for why the gate is on DISPLAY, not try/except)
+                from ..utils.display import imshow_or_save
+                imshow_or_save(
+                    'person', np.hstack((crop, *prev_crops)),
+                    os.path.join(out_dir or '.', '.viz',
+                                 '{}.png'.format(frame_num)))
 
             if out_dir is not None:
                 cv2.imwrite(os.path.join(

@@ -31,14 +31,17 @@ def get_args():
     return parser.parse_args()
 
 
-def make_viz(visualize, frequency, out_file):
+def make_viz(visualize, frequency, out_file, spec):
     """Per-frame previewer (reference `preprocess_3d_pose.py:26-27` +
-    the cv2.imshow calls inside each raw loader). Renders the canonical
-    offsets front-on (x, z) and side-on (y, z); headless hosts get PNGs
-    under `<out_file>.viz/` instead of windows."""
+    the cv2.imshow calls inside each raw loader, e.g. nba2k.py:227-230).
+    Decodes the canonical parent-relative offsets back to joint
+    POSITIONS (`spec.decode_positions`) and renders them front-on (x, z)
+    and side-on (y, z) like the reference's 'canonical'/'canonical_side'
+    windows; headless hosts get PNGs under `<out_file>.viz/`."""
     if not visualize:
         return lambda skel: None
     from ..geometry.render import render_points
+    from ..utils.display import imshow_or_save
 
     state = {'i': 0}
     viz_dir = (out_file or 'pose3d') + '.viz'
@@ -48,19 +51,11 @@ def make_viz(visualize, frequency, out_file):
         if i % frequency:
             return
         _, _, offsets = skel
-        import cv2
+        pos = spec.decode_positions(offsets)  # (J-1, 3) joint positions
         for name, (a, b) in [('front', (0, 2)), ('side', (1, 2))]:
-            img = render_points(offsets[:, a], offsets[:, b])
-            # DISPLAY gate: headless cv2.imshow is a fatal Qt abort
-            # (SIGABRT), not a catchable cv2.error
-            if os.environ.get('DISPLAY'):
-                cv2.imshow(name, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
-                cv2.waitKey(100)
-            else:
-                os.makedirs(viz_dir, exist_ok=True)
-                cv2.imwrite(
-                    os.path.join(viz_dir, '{:06d}.{}.png'.format(i, name)),
-                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            img = render_points(pos[:, a], pos[:, b])
+            imshow_or_save(name, img[..., ::-1], os.path.join(
+                viz_dir, '{:06d}.{}.png'.format(i, name)))
 
     return viz
 
@@ -147,9 +142,14 @@ PROCESSORS = {
 }
 
 
+SPECS = {'3dpeople': people3d.SPEC, 'human36m': human36m.SPEC,
+         'nba2k': nba2k.SPEC, 'amass': amass.SPEC}
+
+
 def main(data_dir, dataset, out_file, visualize=False,
          visualize_frequency=25):
-    viz = make_viz(visualize, visualize_frequency, out_file)
+    viz = make_viz(visualize, visualize_frequency, out_file,
+                   SPECS[dataset])
     pose3d = PROCESSORS[dataset](data_dir, viz)
     if out_file is not None:
         store_pickle(out_file, pose3d)

@@ -110,7 +110,8 @@ def make_penn_sources(penn_dir, frame_dir, img_dim, batch_size, *,
     samples, emb_dim = scan_penn_dir(penn_dir, **scan_kw)
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(samples))
-    n_val = round(0.2 * len(samples))
+    # sklearn train_test_split sizes the test split with ceil
+    n_val = int(np.ceil(0.2 * len(samples)))
     val = sorted(samples[i] for i in order[:n_val])
     train = sorted(samples[i] for i in order[n_val:])
     train_src = PennBatchSource(train, frame_dir, img_dim, batch_size,
