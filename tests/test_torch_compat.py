@@ -287,3 +287,51 @@ def test_vpd_trainer_pretrained_wiring():
     # emb head stays freshly initialized (replace_last_layer)
     assert trainer.state.params['encoder']['Dense_0'][
         'kernel'].shape == (512, 8)
+
+
+def _tree_equal(a, b, path=''):
+    assert set(a) == set(b), (path, set(a) ^ set(b))
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_equal(a[k], b[k], path + '/' + str(k))
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=path + '/k')
+
+
+@pytest.mark.parametrize('arch', ['resnet18', 'resnet50'])
+def test_export_import_resnet_round_trip(arch):
+    """export_resnet_state_dict and convert_resnet_state_dict are exact
+    inverses (pure transposes) — including the Bottleneck layout, which
+    the forward-equality oracle tests do not cover."""
+    import jax
+
+    from vpd_tpu.models.torch_compat import (convert_resnet_state_dict,
+                                             export_resnet_state_dict)
+
+    model = build_encoder(arch, emb_dim=8, dtype=jnp.float32)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    stats = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
+
+    sd = export_resnet_state_dict(params, stats, arch, prefix='resnet.')
+    assert all(k.startswith('resnet.') for k in sd)
+    p2, s2 = convert_resnet_state_dict(sd, arch)
+    _tree_equal(params, p2)
+    _tree_equal(stats, s2)
+
+
+def test_export_import_fcresnet_round_trip():
+    import jax
+
+    from vpd_tpu.models.torch_compat import (convert_fcresnet_state_dict,
+                                             export_fcresnet_state_dict)
+
+    model = FCResNet(8, 2, 32, dtype=jnp.float32)
+    variables = model.init(jax.random.key(4), jnp.zeros((1, 39)))
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    stats = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
+
+    sd = export_fcresnet_state_dict(params, stats, 2)
+    p2, s2 = convert_fcresnet_state_dict(sd, 2)
+    _tree_equal(params, p2)
+    _tree_equal(stats, s2)
