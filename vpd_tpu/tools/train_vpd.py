@@ -128,38 +128,24 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          emb_dir, seed, num_workers=0, init_weights=None,
          crop_shards=None, augment_val=False, hbm_cache=False,
          hbm_cache_sharded=False, penn_dir=None, penn_frame_dir=None):
+    hbm_cache = hbm_cache or hbm_cache_sharded
     if dataset == 'penn':
         # full-frame on-the-fly crops; no crop dir / shards / flow
         # (reference PennDataset raises NotImplementedError for flow)
         assert penn_dir is not None, 'penn requires --penn_dir'
         assert flow_img is None, 'penn has no optical flow'
-        assert not (crop_shards or hbm_cache or hbm_cache_sharded
-                    or num_workers or augment_val), \
+        assert not (crop_shards or hbm_cache or num_workers
+                    or augment_val), \
             'penn supports none of shards/hbm_cache/workers/augment_val'
         train_src, val_src, emb_dim = make_penn_sources(
             penn_dir, penn_frame_dir or paths.PENN_FRAME_DIR, img_dim,
             batch_size, motion=motion, min_pose_score=min_pose_score,
             seed=seed)
-        from ..core.mesh import get_mesh, shard_batch
-        mesh = get_mesh()
-        to_device = ((lambda b: shard_batch(b, mesh)) if mesh.size == 1
-                     else None)
-        train_src = PrefetchedSource(train_src, transform=to_device)
-        val_src = PrefetchedSource(val_src, transform=to_device)
-        config = default_config(
-            dataset, emb_dim, num_epochs=num_epochs,
-            batch_size=batch_size, learning_rate=learning_rate,
-            img_dim=img_dim, use_flow=False, motion=motion,
-            encoder_arch=encoder_arch, pretrained=pretrained,
-            model_select_window=model_select_window,
-            checkpoint_frequency=checkpoint_frequency)
-        trainer = VPDTrainer(train_src, val_src, config,
-                             save_dir=save_dir, mesh=mesh, seed=seed,
-                             pretrained_weights=init_weights)
-        trainer.save_config()
-        trainer.fit()
-        print('Done!')
-        return
+        return _fit(dataset, train_src, val_src, emb_dim, save_dir,
+                    checkpoint_frequency, num_epochs, batch_size,
+                    learning_rate, img_dim, flow_img, motion,
+                    encoder_arch, model_select_window, pretrained,
+                    seed, init_weights, augment_val, hbm_cache)
 
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
@@ -172,7 +158,6 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
 
     crop_dir = CROP_DIRS[dataset]
     src_kwargs = {'flow_img_name': flow_img, 'shard_dir': crop_shards}
-    hbm_cache = hbm_cache or hbm_cache_sharded
     if hbm_cache:
         # Stage the packed shards in device HBM once; batches become
         # index gathers on device (data/hbm_cache.py). Decode workers
@@ -223,6 +208,17 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
             val, crop_dir, img_dim, batch_size, target_len=4000,
             augment=augment_val, seed=seed + 1, **src_kwargs)
 
+    _fit(dataset, train_src, val_src, emb_dim, save_dir,
+         checkpoint_frequency, num_epochs, batch_size, learning_rate,
+         img_dim, flow_img, motion, encoder_arch, model_select_window,
+         pretrained, seed, init_weights, augment_val, hbm_cache)
+
+
+def _fit(dataset, train_src, val_src, emb_dim, save_dir,
+         checkpoint_frequency, num_epochs, batch_size, learning_rate,
+         img_dim, flow_img, motion, encoder_arch, model_select_window,
+         pretrained, seed, init_weights, augment_val, hbm_cache):
+    """Shared tail: prefetch placement, config manifest, trainer, fit."""
     # Single-device mesh: pre-shard on the prefetch thread so the H2D
     # upload starts while the previous step is in flight (shard_batch on
     # an already-placed batch is a no-op in the train loop). Multi-device
