@@ -78,7 +78,12 @@ def main():
         ladder = [(int(b), 3)
                   for b in os.environ['VPD_BENCH_BATCHES'].split(',')]
     for stage, (batch, rounds) in enumerate(ladder):
-        if stage > 0 and elapsed() > 0.5 * BUDGET_S:
+        # a stage that starts and gets killed mid-flight cannot destroy
+        # already-printed lines (the driver keeps the last complete one),
+        # so the escalation window can be generous: skip only when the
+        # remaining budget clearly cannot fit a warm stage (~120-200 s
+        # incl. relay upload of the bigger buffers).
+        if stage > 0 and elapsed() > 0.7 * BUDGET_S:
             print('# bench: skipping B={} escalation at {:.0f}s '
                   '(budget {:.0f}s)'.format(batch, elapsed(), BUDGET_S),
                   file=sys.stderr, flush=True)
