@@ -1,0 +1,54 @@
+"""Driver-contract smoke tests for __graft_entry__.
+
+The round driver compile-checks `entry()` single-chip and runs
+`dryrun_multichip(N)` in a fresh process with N host-platform devices —
+and N is the driver's choice, not ours. These tests replicate that exact
+calling convention (fresh subprocess, no conftest backend preset) at an
+N different from the test suite's default 8, so a divisibility or
+mesh-shape assumption that only holds at 8 fails here first.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+
+
+def _run(code):
+    env = dict(os.environ)
+    # the driver invokes a bare process: no JAX_PLATFORMS / XLA_FLAGS
+    # presets; dryrun_multichip must do its own device spoofing
+    env.pop('JAX_PLATFORMS', None)
+    env.pop('XLA_FLAGS', None)
+    return subprocess.run(
+        [sys.executable, '-c', code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1200)
+
+
+def test_entry_compiles_and_runs():
+    out = _run(
+        'import jax\n'
+        'jax.config.update("jax_platforms", "cpu")\n'
+        'import __graft_entry__ as g\n'
+        'fn, args = g.entry()\n'
+        'emb = jax.jit(fn)(*args)\n'
+        'assert emb.shape == (64, 32), emb.shape\n'
+        'print("ENTRY-OK")\n')
+    assert 'ENTRY-OK' in out.stdout, out.stdout + out.stderr
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_nondefault_n():
+    # n=2: exercises the pure-data-mesh teacher branch (no TP) and the
+    # row-sharded HBM cache at the smallest mesh, where divisibility
+    # assumptions bite hardest.
+    out = _run(
+        'import __graft_entry__ as g\n'
+        'g.dryrun_multichip(2)\n'
+        'print("DRYRUN2-OK")\n')
+    assert 'DRYRUN2-OK' in out.stdout, out.stdout + out.stderr
+    # all five contract stages must have reported
+    assert out.stdout.count('dryrun_multichip OK') == 5, out.stdout
