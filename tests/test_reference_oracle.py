@@ -232,12 +232,12 @@ IN_DIM = 13 * 3
 TGT = 140  # human36m: 20 edges x 7 features
 
 
-def _torch_vipe_model(seed):
+def _torch_vipe_model(seed, dropout=0.3):
     import models.module as mm
     from models.keypoint import Keypoint_EmbeddingModel
 
     torch.manual_seed(seed)
-    enc = mm.FCResNet(IN_DIM, EMB, BLOCKS, HID)
+    enc = mm.FCResNet(IN_DIM, EMB, BLOCKS, HID, dropout=dropout)
     dec = mm.FCPoseDecoder(EMB, [24, 16], [('human36m', TGT)])
     gen = torch.Generator().manual_seed(seed + 1)
     for mod in list(enc.modules()) + list(dec.modules()):
@@ -335,6 +335,136 @@ def test_vipe_epoch_loss_oracle():
                                rtol=2e-4)
     np.testing.assert_allclose(loss_sum / total_n, want_per_ds['human36m'],
                                rtol=2e-4)
+
+
+def test_vipe_train_trajectory_oracle():
+    """Full backward + AdamW trajectory of the VIPE teacher vs the
+    reference, head-to-head.
+
+    3 REAL optimizer steps of `models/keypoint.py:38-126` epoch (train
+    mode: BatchNorm1d batch stats, hinge + masked-neg + 2-view lifting
+    MSE, `batch_loss /= batch_n` BEFORE backward at `:112-116`, AdamW as
+    `train_vipe_model.py:312-316` builds it over encoder+decoder params
+    `:164-169`) vs 3 steps of our fused jitted train step, transplanted
+    init, identical batches, both sides f64 (see the VPD trajectory
+    oracle above for why f64). Dropout 0 on both sides — torch and jax
+    cannot share dropout masks, and optimizer parity is what's on trial.
+    """
+    import optax
+
+    from vpd_tpu.models.fc import FCPoseDecoder, FCResNet
+    from vpd_tpu.train.vipe import (VIPEModel, VIPETrainState,
+                                    make_train_step)
+
+    import jax
+    import jax.numpy as jnp
+
+    n_steps, n, lr = 3, 16, 1e-3
+    ref_model, enc, dec = _torch_vipe_model(seed=7, dropout=0.)
+    enc.double()
+    dec.double()
+    opt = torch.optim.AdamW(
+        list(enc.parameters()) + list(dec.parameters()), lr=lr)
+
+    rng = np.random.default_rng(8)
+    raw = []
+    for _ in range(n_steps):
+        raw.append({
+            'pose1': rng.normal(0, .5, (n, 13, 3)),
+            'pose2': rng.normal(0, .5, (n, 13, 3)),
+            'pose_neg': rng.normal(0, .5, (n, 13, 3)),
+            'neg_valid': (rng.uniform(size=n) < .8).astype(np.float64),
+            'kp_features': rng.normal(0, .4, (n, TGT)),
+        })
+
+    params0, stats0 = _transplant(enc, dec)
+    params0 = jax.tree_util.tree_map(np.copy, params0)  # torch views!
+    stats0 = jax.tree_util.tree_map(np.copy, stats0)
+    init_ref = jax.tree_util.tree_map(np.copy, params0)
+
+    # reference: one epoch() call per batch -> per-step loss trace;
+    # optimizer and BN running stats persist across calls
+    ref_steps = [
+        ref_model.epoch(
+            [('human36m', [{
+                'pose1': torch.from_numpy(b['pose1']),
+                'pose2': torch.from_numpy(b['pose2']),
+                'pose_neg': torch.from_numpy(b['pose_neg']),
+                'pose_neg_is_valid': torch.from_numpy(b['neg_valid']),
+                'kp_features': torch.from_numpy(
+                    b['kp_features'].reshape(n, 20, 7)),
+            }])],
+            optimizer=opt)
+        for b in raw]
+
+    with jax.enable_x64():
+        model = VIPEModel(
+            encoder=FCResNet(EMB, BLOCKS, HID, dropout=0.,
+                             dtype=jnp.float64),
+            decoder=FCPoseDecoder((24, 16), (TGT,), dtype=jnp.float64))
+        sample = {
+            'pose1': jnp.zeros((2, 13, 3), jnp.float64),
+            'pose2': jnp.zeros((2, 13, 3), jnp.float64),
+            'pose_neg': jnp.zeros((2, 13, 3), jnp.float64),
+            'dataset_id': jnp.zeros(2, jnp.int32),
+        }
+        template = model.init({'params': jax.random.key(0)}, sample,
+                              train=False)
+        jax.tree_util.tree_map(  # same treedef or the transplant is wrong
+            lambda a, b: None, dict(template['params']), params0)
+        tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=0.01)  # torch AdamW defaults
+        state = VIPETrainState.create(
+            {'params': params0, 'batch_stats': stats0}, tx)
+        step = make_train_step(model, kp_mask=np.ones((1, TGT)))
+        our_steps = []
+        for b in raw:
+            state, metrics = step(state, {
+                'pose1': b['pose1'], 'pose2': b['pose2'],
+                'pose_neg': b['pose_neg'], 'neg_valid': b['neg_valid'],
+                # the reference casts targets to f32 even in double mode
+                # (`models/keypoint.py:89` `.float()`): round ours the
+                # same way or the losses differ at the f32-target level
+                'kp_features': b['kp_features'].astype(np.float32)
+                                               .astype(np.float64),
+                'dataset_id': np.zeros(n, np.int32),
+                'has_3d': np.ones(n, np.float64),
+            }, jax.random.key(1))
+            our_steps.append((float(metrics['contra_sum']) / n,
+                              float(metrics['loss_sum']) / n))
+        final_params = jax.device_get(dict(state.params))
+        final_stats = jax.device_get(dict(state.batch_stats))
+
+    for i, ((contra, loss), (rc, rl, _)) in enumerate(
+            zip(our_steps, ref_steps)):
+        assert abs(loss - rl) / abs(rl) < 1e-9, (i, loss, rl)
+        assert abs(contra - rc) / (abs(rc) + 1e-12) < 1e-9, (i, contra, rc)
+
+    final_ref, stats_ref = _transplant(enc, dec)
+
+    def check_leaf(path, ours, reff, init):
+        ours, reff, init = map(np.asarray, (ours, reff, init))
+        delta = np.linalg.norm(reff - init)
+        err = np.linalg.norm(ours - reff)
+        # the absolute floor covers leaves whose gradient is ~0: Adam's
+        # step-1 update there is g/(|g|+eps)-shaped and f64 rounding of
+        # a near-zero g moves the update at the 1e-10 level
+        assert err <= 1e-7 * delta + 1e-9, \
+            (jax.tree_util.keystr(path), err, delta)
+
+    jax.tree_util.tree_map_with_path(
+        check_leaf, final_params, final_ref, init_ref)
+
+    # running means exact; running vars carry the flax-biased vs
+    # torch-unbiased n/(n-1) factor (n = batch rows = 16 here, QUIRKS.md)
+    def check_stat(path, ours, reff):
+        key = jax.tree_util.keystr(path)
+        ours, reff = np.asarray(ours), np.asarray(reff)
+        err = np.linalg.norm(ours - reff) / (np.linalg.norm(reff) + 1e-8)
+        assert err < (0.2 if 'var' in key else 1e-9), (key, err)
+
+    jax.tree_util.tree_map_with_path(
+        check_stat, final_stats, stats_ref)
 
 
 def test_fcresnet_forward_oracle():
@@ -1553,6 +1683,143 @@ def test_vpd_epoch_loss_oracle(tmp_path):
 
     assert abs(our_loss - ref_loss) / abs(ref_loss) < 1e-3, \
         (our_loss, ref_loss)
+
+
+def test_vpd_train_trajectory_oracle():
+    """Full backward + AdamW trajectory vs the reference, head-to-head.
+
+    Runs 3 REAL optimizer steps of `train_vpd_model.ModelTrainer.epoch`
+    (`:67-98` train mode: BN batch stats, sum-reduction MSE backprop via
+    `models/util.py:50-58`, `torch.optim.AdamW` from `get_optimizer`)
+    and 3 steps of our `apply_train_update` (the fused step minus
+    augmentation) from transplanted-identical weights on identical
+    batches, then asserts the per-step loss trace AND the final
+    parameters agree. This upgrades forward/loss parity to full
+    training-step parity: gradients, optimizer math (betas/eps/decoupled
+    wd on every param), and BN train-mode semantics all have to match
+    for the post-update losses to line up.
+    """
+    _install_resnet_factories()
+    from synth import stub_torchvision_transforms
+    stub_torchvision_transforms()
+    import train_vpd_model as ref_tool
+
+    import jax
+    import jax.numpy as jnp
+    from vpd_tpu.models import build_encoder
+    from vpd_tpu.models.torch_compat import (_dense,
+                                             convert_resnet_state_dict)
+    from vpd_tpu.train.vpd import (MotionHead, VPDStudent,
+                                   apply_train_update, create_state)
+
+    # Both sides run in FLOAT64: in f32, conv-gradient rounding noise
+    # flips the sign of near-zero gradients, and Adam's step-1 update is
+    # +-lr regardless of |g| — a handful of 11M params then differ by
+    # 2*lr each and the step-2/3 losses drift ~1e-3 for reasons that are
+    # noise, not semantics. f64 kills the noise floor (~1e-15), so any
+    # remaining disagreement IS a semantic difference.
+    emb_dim, dim, B, n_steps, lr = 8, 32, 4, 3, 1e-3
+    torch.manual_seed(31)
+    encoder = ref_tool.RGBF_EmbeddingModel(
+        'resnet18', emb_dim, use_flow=True, device='cpu')
+    trainer = ref_tool.ModelTrainer(encoder, motion=True)
+    encoder.double()
+    trainer.fcn_time.double()
+    opt, scaler = trainer.get_optimizer(lr)  # AdamW, torch-default wd 0.01
+
+    def torch_trees():
+        sd = {k: v.detach().numpy()
+              for k, v in encoder.resnet.state_dict().items()}
+        enc_params, enc_stats = convert_resnet_state_dict(sd, 'resnet18')
+        linears = [m for m in trainer.fcn_time.layers
+                   if isinstance(m, torch.nn.Linear)]
+        motion_params = {'FCNet_0': {
+            'Dense_{}'.format(i): {
+                'kernel': _dense(l.weight.detach().numpy()),
+                'bias': l.bias.detach().numpy()}
+            for i, l in enumerate(linears)}}
+        return {'encoder': enc_params,
+                'motion': motion_params}, enc_stats
+
+    # .detach().numpy() leaves are VIEWS of the live torch tensors —
+    # deep-copy or the reference's in-place training updates silently
+    # rewrite our "initial" trees after the epochs below run
+    params0, stats0 = torch_trees()
+    params0 = jax.tree_util.tree_map(np.copy, params0)
+    stats0 = jax.tree_util.tree_map(np.copy, stats0)
+    init_ref = jax.tree_util.tree_map(np.copy, params0)
+
+    rng = np.random.default_rng(32)
+    imgs = rng.normal(0, 1, (n_steps, B, dim, dim, 5))
+    targets = rng.normal(0, 1, (n_steps, B, 2 * emb_dim))
+
+    # reference: one epoch() call per batch so the per-step (pre-update)
+    # loss trace is observable; optimizer state persists across calls
+    ref_losses = [
+        trainer.epoch(
+            [{'img': torch.from_numpy(
+                np.moveaxis(imgs[i], -1, 1).copy()),
+              'emb': torch.from_numpy(targets[i])}],
+            optimizer=opt, scaler=scaler)
+        for i in range(n_steps)]
+
+    with jax.enable_x64():
+        model = VPDStudent(
+            encoder=build_encoder('resnet18', emb_dim,
+                                  dtype=jnp.float64),
+            motion=MotionHead(emb_dim, dtype=jnp.float64))
+        state = create_state(
+            model, jnp.zeros((1, dim, dim, 5), jnp.float64), lr)
+        jax.tree_util.tree_map(  # same treedef or the transplant is wrong
+            lambda a, b: None, dict(state.params), params0)
+        state = state.replace(params=params0,
+                              batch_stats={'encoder': stats0},
+                              opt_state=state.tx.init(params0))
+
+        step_fn = jax.jit(lambda s, im, e: apply_train_update(
+            model, s, im, e, jax.random.key(0)))
+        our_losses = []
+        for i in range(n_steps):
+            state, metrics = step_fn(state, jnp.asarray(imgs[i]),
+                                     jnp.asarray(targets[i]))
+            our_losses.append(float(metrics['emb_loss_sum']) / B)
+        final_params = jax.device_get(dict(state.params))
+        final_stats = jax.device_get(dict(state.batch_stats))
+
+    # losses at step i > 0 integrate every preceding update: they only
+    # match if gradients + AdamW math matched at every prior step
+    for i, (ours, ref) in enumerate(zip(our_losses, ref_losses)):
+        assert abs(ours - ref) / abs(ref) < 1e-9, (i, ours, ref)
+
+    final_ref, stats_ref = torch_trees()
+
+    def check_leaf(path, ours, reff, init):
+        ours, reff, init = map(np.asarray, (ours, reff, init))
+        delta = np.linalg.norm(reff - init)
+        err = np.linalg.norm(ours - reff)
+        assert err <= 1e-7 * delta + 1e-15, \
+            (jax.tree_util.keystr(path), err, delta)
+
+    jax.tree_util.tree_map_with_path(
+        check_leaf, final_params, final_ref, init_ref)
+
+    # BN running MEANS must agree to f64 exactness — they prove momentum
+    # (0.1), axis selection, and layer mapping all match. Running VARS
+    # deviate by design: flax blends the biased batch variance where
+    # torch blends the unbiased one (QUIRKS.md conv-BN running-variance
+    # note) — an n/(n-1) factor that this test's tiny shapes exaggerate
+    # (stage 4 normalizes over n = B*1*1 = 4 elements; production shapes
+    # put it at O(1e-5)). The loose var bound still catches gross
+    # bookkeeping errors.
+    def check_stat(path, ours, reff):
+        key = jax.tree_util.keystr(path)
+        ours, reff = np.asarray(ours), np.asarray(reff)
+        err = np.linalg.norm(ours - reff) / (np.linalg.norm(reff) + 1e-8)
+        tol = 0.2 if 'var' in key else 1e-9
+        assert err < tol, (key, err)
+
+    jax.tree_util.tree_map_with_path(
+        check_stat, final_stats['encoder'], stats_ref)
 
 
 # ---------------------------------------------------------------------------

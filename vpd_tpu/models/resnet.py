@@ -128,7 +128,10 @@ class ResNet(nn.Module):
                        if self.block is Bottleneck else {}))(x)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool
-        x = nn.Dense(self.output_dim, dtype=jnp.float32)(x.astype(jnp.float32))
+        # the head always runs in >= f32 (bf16 models compute it in f32;
+        # f64 models — e.g. the x64 reference-trajectory oracle — keep f64)
+        head_dt = jnp.promote_types(self.dtype, jnp.float32)
+        x = nn.Dense(self.output_dim, dtype=head_dt)(x.astype(head_dt))
         return x
 
 

@@ -27,11 +27,12 @@ from ..models.fc import FCNet
 class MotionHead(nn.Module):
     """FCNet(emb -> [128,128] -> 2*emb) (`train_vpd_model.py:62-65`)."""
     emb_dim: int
+    dtype: jnp.dtype = jnp.float32  # head stays f32 under bf16 encoders
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return FCNet((128, 128), 2 * self.emb_dim, dropout=0.)(x,
-                                                               train=train)
+        return FCNet((128, 128), 2 * self.emb_dim, dropout=0.,
+                     dtype=self.dtype)(x, train=train)
 
 
 class VPDTrainState(struct.PyTreeNode):
@@ -64,6 +65,38 @@ def create_state(model, sample_img, learning_rate, seed=0,
         opt_state=tx.init(variables['params']), tx=tx)
 
 
+def apply_train_update(model, state, imgs, emb, drop_rng):
+    """fwd/bwd/AdamW on an already-augmented float image batch.
+
+    The differentiated objective is the UN-normalized sum-reduction MSE:
+    the reference backprops the raw sum (`train_vpd_model.py:87-91` ->
+    `models/util.py:50-53` — no mean before `.backward()`, unlike the
+    VIPE trainer which divides by batch_n first, `models/keypoint.py:112-116`).
+    Under AdamW the gradient scale cancels except through eps, but
+    matching it exactly keeps update trajectories comparable with the
+    reference head-to-head (tests/test_reference_oracle.py).
+    """
+    def loss_fn(params):
+        out, mutated = model.apply(
+            {'params': params, 'batch_stats': state.batch_stats},
+            imgs, train=True, mutable=['batch_stats'],
+            rngs={'dropout': drop_rng})
+        # sum-reduction MSE (reference train_vpd_model.py:87)
+        loss_sum = jnp.sum(jnp.square(out - emb))
+        return loss_sum, mutated
+
+    (loss_sum, mutated), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(
+        grads, state.opt_state, state.params)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=optax.apply_updates(state.params, updates),
+        batch_stats=mutated['batch_stats'], opt_state=new_opt)
+    return new_state, {'emb_loss_sum': loss_sum,
+                       'n': jnp.float32(emb.shape[0])}
+
+
 def _fused_step_body(model, mean, std, img_dim, use_flow, use_mask,
                      aug_dtype, state, rgb, flow, mask, emb, flip, rng):
     """Augment -> fwd/bwd -> AdamW on explicit pixel/target operands
@@ -74,26 +107,8 @@ def _fused_step_body(model, mean, std, img_dim, use_flow, use_mask,
         flow_u8=flow if use_flow else None,
         mask_u8=mask if use_mask else None,
         flip=flip, out_size=img_dim, dtype=aug_dtype)
-
-    def loss_fn(params):
-        out, mutated = model.apply(
-            {'params': params, 'batch_stats': state.batch_stats},
-            imgs, train=True, mutable=['batch_stats'],
-            rngs={'dropout': jax.random.fold_in(aug_rng, 1)})
-        # sum-reduction MSE (reference train_vpd_model.py:87)
-        loss_sum = jnp.sum(jnp.square(out - emb))
-        return loss_sum / out.shape[0], (loss_sum, mutated)
-
-    (_, (loss_sum, mutated)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params)
-    updates, new_opt = state.tx.update(
-        grads, state.opt_state, state.params)
-    new_state = state.replace(
-        step=state.step + 1,
-        params=optax.apply_updates(state.params, updates),
-        batch_stats=mutated['batch_stats'], opt_state=new_opt)
-    return new_state, {'emb_loss_sum': loss_sum,
-                       'n': jnp.float32(emb.shape[0])}
+    return apply_train_update(model, state, imgs, emb,
+                              jax.random.fold_in(aug_rng, 1))
 
 
 def make_train_step(model, mean, std, img_dim=128, use_flow=False,
