@@ -950,7 +950,7 @@ def _transplant_seq(ref_model, cell_type, depth, hidden_dim,
     """torch Seq state_dict -> flax SeqClassifier variables."""
     sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
     h = hidden_dim
-    cell_name = 'GRUCell' if cell_type == 'gru' else 'OptimizedLSTMCell'
+    cell_name = 'TorchGRUCell' if cell_type == 'gru' else 'TorchLSTMCell'
     birnn = {}
     for layer in range(depth):
         for di, suffix in enumerate(['', '_reverse']):
@@ -958,26 +958,22 @@ def _transplant_seq(ref_model, cell_type, depth, hidden_dim,
             w_hh = sd['backbone.weight_hh_l%d%s' % (layer, suffix)]
             b_ih = sd['backbone.bias_ih_l%d%s' % (layer, suffix)]
             b_hh = sd['backbone.bias_hh_l%d%s' % (layer, suffix)]
+            # the cells keep torch's DOUBLE-bias parameterization (b_ih
+            # and b_hh map 1:1, no folding) so Adam bias dynamics match
             if cell_type == 'gru':
-                # torch gate order r, z, n; b_hr/b_hz fold into the i-side
-                # biases, b_hn stays on hn (it sits inside the r* product)
-                cell = {
-                    'ir': {'kernel': w_ih[:h].T, 'bias': b_ih[:h] + b_hh[:h]},
-                    'iz': {'kernel': w_ih[h:2 * h].T,
-                           'bias': b_ih[h:2 * h] + b_hh[h:2 * h]},
-                    'in': {'kernel': w_ih[2 * h:].T, 'bias': b_ih[2 * h:]},
-                    'hr': {'kernel': w_hh[:h].T},
-                    'hz': {'kernel': w_hh[h:2 * h].T},
-                    'hn': {'kernel': w_hh[2 * h:].T, 'bias': b_hh[2 * h:]},
-                }
+                # torch gate order r, z, n
+                cell = {}
+                for gi, g in enumerate(['r', 'z', 'n']):
+                    sl = slice(gi * h, (gi + 1) * h)
+                    cell['i' + g] = {'kernel': w_ih[sl].T, 'bias': b_ih[sl]}
+                    cell['h' + g] = {'kernel': w_hh[sl].T, 'bias': b_hh[sl]}
             else:
-                # torch gate order i, f, g, o; flax biases live on the h side
+                # torch gate order i, f, g, o
                 cell = {}
                 for gi, g in enumerate(['i', 'f', 'g', 'o']):
                     sl = slice(gi * h, (gi + 1) * h)
-                    cell['i' + g] = {'kernel': w_ih[sl].T}
-                    cell['h' + g] = {'kernel': w_hh[sl].T,
-                                     'bias': b_ih[sl] + b_hh[sl]}
+                    cell['i' + g] = {'kernel': w_ih[sl].T, 'bias': b_ih[sl]}
+                    cell['h' + g] = {'kernel': w_hh[sl].T, 'bias': b_hh[sl]}
             birnn['%s_%d' % (cell_name, 2 * layer + di)] = cell
 
     params = {'BiRNN_0': birnn}
@@ -1063,6 +1059,123 @@ def test_seq_classifier_oracle(cell_type, use_attention, input_batchnorm):
         np.testing.assert_allclose(
             np.asarray(mut['batch_stats']['BatchNorm_%d' % bi]['var']),
             mod.running_var.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_classifier_train_trajectory_oracle():
+    """Full backward + AdamW + cyclic-scheduler trajectory of the
+    downstream sequence classifier vs the reference, head-to-head.
+
+    3 REAL training epochs of `util/classifier.py` `BaseSeqModel._epoch`
+    (`:262-295`: packed BiGRU in train mode, mean cross-entropy,
+    `loss.backward()` + `optimizer.step()`, the vendored
+    CyclicLRWithRestarts stepping lr AND normalized weight decay per
+    batch exactly as `:204-207` + `:268-289` drive it) against our
+    production `_cached_train_step` + `CyclicCosineRestarts` loop from
+    transplanted-identical weights on identical batches, both sides f64
+    (see the VPD trajectory oracle for why f64). Dropout 0 both sides.
+    Every batch contains a full-length sequence so the unmasked
+    attention-pooling quirk (QUIRKS.md) sees the same softmax span.
+    """
+    from util.classifier import _ABCSeqModel, BaseSeqModel
+    from util.torch.cyclic_scheduler import CyclicLRWithRestarts
+
+    import jax
+    import jax.numpy as jnp
+    from vpd_tpu.core.schedule import CyclicCosineRestarts
+    from vpd_tpu.models.gru import SeqClassifier
+    from vpd_tpu.train.classifier import _cached_train_step, _shared_tx
+
+    d, hdim, t, b, classes, depth = 6, 4, 9, 8, 3, 2
+    n_epochs, batches, lr = 3, 2, 1e-3
+    epoch_size = b * batches
+    rng = np.random.default_rng(17)
+    torch.manual_seed(13)
+    ref = _ABCSeqModel.Seq('gru', d, hdim, classes, depth=depth,
+                           dropout=0.0, input_dropout=0.0,
+                           input_batchnorm=True, use_attention=True)
+    _randomize_bn_stats(ref, rng)
+    ref.double()
+    opt = torch.optim.AdamW(ref.parameters(), lr=lr)
+    sched_ref = CyclicLRWithRestarts(opt, b, epoch_size,
+                                     restart_period=2)
+
+    variables = _transplant_seq(ref, 'gru', depth, hdim, True, True)
+    init_ref = jax.tree_util.tree_map(np.copy, variables['params'])
+
+    data = []
+    for _ in range(batches):
+        x, lengths = _pad_batch(rng, b, t, d)
+        data.append((x.astype(np.float64), lengths,
+                     rng.integers(0, classes, b).astype(np.int32)))
+
+    loader = [((torch.from_numpy(x), torch.from_numpy(lengths)),
+               torch.from_numpy(y.astype(np.int64)))
+              for x, lengths, y in data]
+    ref_trace = [BaseSeqModel._epoch(ref, loader, 'cpu', opt, None,
+                                     sched_ref)
+                 for _ in range(n_epochs)]
+
+    model = SeqClassifier('gru', hidden_dim=hdim, num_classes=classes,
+                          depth=depth, dropout=0.0, input_dropout=0.0,
+                          input_batchnorm=True, use_attention=True)
+    with jax.enable_x64():
+        params = variables['params']
+        batch_stats = variables['batch_stats']
+        tx = _shared_tx()
+        opt_state = tx.init(params)
+        step = _cached_train_step(model)
+        sched = CyclicCosineRestarts(lr, 0.01, b, epoch_size,
+                                     restart_period=2)
+        valid = np.ones(b, bool)  # the trainer passes a bool row mask
+        key = jax.random.key(5)
+        our_trace = []
+        step_i = 0
+        for _ in range(n_epochs):
+            sched.epoch_start()
+            ep_loss = correct = 0.0
+            for x, lengths, y in data:
+                step_i += 1
+                (params, batch_stats, opt_state, loss, corr) = step(
+                    params, batch_stats, opt_state,
+                    x, lengths, y, valid,
+                    np.float64(sched.lr), np.float64(sched.weight_decay),
+                    key, np.int32(step_i))
+                sched.batch_step()
+                ep_loss += float(loss)
+                correct += float(corr)
+            our_trace.append((ep_loss / epoch_size,
+                              correct / epoch_size))
+        final_params = jax.device_get(params)
+        final_stats = jax.device_get(batch_stats)
+
+    # per-epoch (loss, acc): epoch e > 0 integrates every update AND the
+    # scheduler's per-batch (lr, wd) sequence of all prior epochs
+    for e, ((ol, oa), (rl, ra)) in enumerate(zip(our_trace, ref_trace)):
+        assert abs(ol - rl) / abs(rl) < 1e-9, (e, ol, rl)
+        assert oa == ra, (e, oa, ra)
+
+    final_refv = _transplant_seq(ref, 'gru', depth, hdim, True, True)
+
+    def check_leaf(path, ours, reff, init):
+        ours, reff, init = map(np.asarray, (ours, reff, init))
+        delta = np.linalg.norm(reff - init)
+        err = np.linalg.norm(ours - reff)
+        assert err <= 1e-7 * delta + 1e-9, \
+            (jax.tree_util.keystr(path), err, delta)
+
+    jax.tree_util.tree_map_with_path(
+        check_leaf, final_params, final_refv['params'], init_ref)
+
+    # the classifier-head BNs replicate torch running-stat semantics
+    # EXACTLY (unbiased variance, masked batch stats) — unlike the conv
+    # BNs, running vars here must also agree to f64 exactness
+    def check_stat(path, ours, reff):
+        ours, reff = np.asarray(ours), np.asarray(reff)
+        err = np.linalg.norm(ours - reff) / (np.linalg.norm(reff) + 1e-8)
+        assert err < 1e-9, (jax.tree_util.keystr(path), err)
+
+    jax.tree_util.tree_map_with_path(
+        check_stat, final_stats, final_refv['batch_stats'])
 
 
 @pytest.mark.parametrize('depth', [1, 2])

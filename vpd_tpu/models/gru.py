@@ -25,6 +25,84 @@ def length_mask(lengths, max_len):
     return jnp.arange(max_len)[None, :] < lengths[:, None]
 
 
+class TorchGRUCell(nn.RNNCellBase):
+    """GRU cell with torch's DOUBLE-bias parameterization.
+
+    torch `nn.GRU` carries b_ih AND b_hh per gate (cuDNN layout); both
+    receive identical gradients, so under Adam-family optimizers the
+    summed bias moves with TWICE the adaptive step of a single folded
+    bias. flax's `nn.GRUCell` folds them (identical forward, halved
+    effective bias step), which diverges from reference training
+    dynamics (`util/classifier.py:204` AdamW) — proven by the classifier
+    trajectory oracle. Forward math and initializers match
+    `flax.linen.GRUCell` exactly; the only change is a zero-init bias on
+    the hr/hz recurrent projections.
+    """
+    features: int
+    param_dtype: 'jnp.dtype' = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h = carry
+        dense_i = lambda name: nn.Dense(
+            self.features, use_bias=True, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.lecun_normal(), name=name)
+        dense_h = lambda name: nn.Dense(
+            self.features, use_bias=True, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.orthogonal(), name=name)
+        r = nn.sigmoid(dense_i('ir')(x) + dense_h('hr')(h))
+        z = nn.sigmoid(dense_i('iz')(x) + dense_h('hz')(h))
+        n = nn.tanh(dense_i('in')(x) + r * dense_h('hn')(h))
+        new_h = (1. - z) * n + z * h
+        return new_h, new_h
+
+    @nn.nowrap
+    def initialize_carry(self, rng, input_shape):
+        return jnp.zeros(input_shape[:-1] + (self.features,),
+                         self.param_dtype)
+
+    @property
+    def num_feature_axes(self):
+        return 1
+
+
+class TorchLSTMCell(nn.RNNCellBase):
+    """LSTM cell with torch's double-bias parameterization (see
+    TorchGRUCell). Gate math and initializers match
+    `flax.linen.OptimizedLSTMCell`; both the input and recurrent
+    projections carry biases, as torch `nn.LSTM` does.
+    """
+    features: int
+    param_dtype: 'jnp.dtype' = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, x):
+        c, h = carry
+        dense_i = lambda name: nn.Dense(
+            self.features, use_bias=True, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.lecun_normal(), name=name)
+        dense_h = lambda name: nn.Dense(
+            self.features, use_bias=True, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.orthogonal(), name=name)
+        i = nn.sigmoid(dense_i('ii')(x) + dense_h('hi')(h))
+        f = nn.sigmoid(dense_i('if')(x) + dense_h('hf')(h))
+        g = nn.tanh(dense_i('ig')(x) + dense_h('hg')(h))
+        o = nn.sigmoid(dense_i('io')(x) + dense_h('ho')(h))
+        new_c = f * c + i * g
+        new_h = o * nn.tanh(new_c)
+        return (new_c, new_h), new_h
+
+    @nn.nowrap
+    def initialize_carry(self, rng, input_shape):
+        shape = input_shape[:-1] + (self.features,)
+        return (jnp.zeros(shape, self.param_dtype),
+                jnp.zeros(shape, self.param_dtype))
+
+    @property
+    def num_feature_axes(self):
+        return 1
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over (B, T, D) inputs counting only valid timesteps.
 
@@ -136,10 +214,14 @@ class BiRNN(nn.Module):
     @nn.compact
     def __call__(self, x, lengths):
         def make_cell():
+            # param_dtype also sets the scan-carry dtype: follow the
+            # input so f64 runs (x64 reference oracles) keep a matching
+            # carry; f32 inputs behave exactly as before
             if self.cell_type == 'gru':
-                return nn.GRUCell(self.hidden_dim)
+                return TorchGRUCell(self.hidden_dim, param_dtype=x.dtype)
             elif self.cell_type == 'lstm':
-                return nn.OptimizedLSTMCell(self.hidden_dim)
+                return TorchLSTMCell(self.hidden_dim,
+                                     param_dtype=x.dtype)
             raise NotImplementedError(self.cell_type)
 
         last_states = []
