@@ -467,6 +467,153 @@ def test_vipe_train_trajectory_oracle():
         check_stat, final_stats, stats_ref)
 
 
+def test_import_resume_trajectory_oracle(tmp_path):
+    """Seamless --resume of a torch VIPE run: train 2 steps in torch,
+    save exactly what `train_vipe_model.save_model` saves (`:171-183`
+    encoder + decoder-3d + optimizer state dicts + config.json), convert
+    with `tools/import_torch_model` (decoder heads onto the padded
+    multi-head, AdamW exp_avg/exp_avg_sq/step onto the optax state),
+    then take step 3 HERE and step 3 in torch — they must match: loss,
+    post-step params, and the carried-over Adam moments all line up only
+    if the optimizer-state conversion preserved per-leaf moments through
+    the same transposes as the weights. Both sides f64.
+    """
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+    from vpd_tpu.core import checkpoint as ckpt
+    from vpd_tpu.core.io import store_json
+    from vpd_tpu.models.fc import FCPoseDecoder, FCResNet
+    from vpd_tpu.tools.import_torch_model import main as import_main
+    from vpd_tpu.train.vipe import (VIPETrainState, make_train_step)
+
+    n, lr, hid = 16, 1e-3, 16
+    ref_model, enc, dec = _torch_vipe_model(seed=19, dropout=0.)
+    # config-expressible decoder: decoder_arch=(2, hid) -> [hid, hid]
+    import models.module as mm
+    dec = mm.FCPoseDecoder(EMB, [hid, hid], [('human36m', TGT)])
+    from models.keypoint import Keypoint_EmbeddingModel
+    ref_model = Keypoint_EmbeddingModel(enc, {'3d': dec}, 'cpu')
+    enc.double()
+    dec.double()
+    opt = torch.optim.AdamW(
+        list(enc.parameters()) + list(dec.parameters()), lr=lr)
+
+    rng = np.random.default_rng(20)
+
+    def batch():
+        return {
+            'pose1': rng.normal(0, .5, (n, 13, 3)),
+            'pose2': rng.normal(0, .5, (n, 13, 3)),
+            'pose_neg': rng.normal(0, .5, (n, 13, 3)),
+            'neg_valid': (rng.uniform(size=n) < .8).astype(np.float64),
+            'kp_features': rng.normal(0, .4, (n, TGT)),
+        }
+
+    def ref_step(b):
+        return ref_model.epoch(
+            [('human36m', [{
+                'pose1': torch.from_numpy(b['pose1']),
+                'pose2': torch.from_numpy(b['pose2']),
+                'pose_neg': torch.from_numpy(b['pose_neg']),
+                'pose_neg_is_valid': torch.from_numpy(b['neg_valid']),
+                'kp_features': torch.from_numpy(
+                    b['kp_features'].reshape(n, 20, 7)),
+            }])],
+            optimizer=opt)
+
+    for _ in range(2):  # the "interrupted" torch run
+        ref_step(batch())
+
+    # save exactly as train_vipe_model.save_model does (:171-183)
+    src = tmp_path / 'torch_run'
+    src.mkdir()
+    torch.save(enc.state_dict(), src / 'epoch0002.encoder.pt')
+    torch.save(dec.state_dict(), src / 'epoch0002.decoder-3d.pt')
+    torch.save(opt.state_dict(), src / 'epoch0002.optimizer.pt')
+    store_json(str(src / 'config.json'), {
+        'datasets': [{'name': 'human36m', '3d_pose_shape': [20, 7],
+                      'mean_kp_offset_norms': None}],
+        'num_epochs': 10, 'learning_rate': lr, 'batch_size': n,
+        'embedding_dim': EMB, 'encoder_arch': [BLOCKS, HID],
+        'decoder_arch': [2, hid], 'embed_bones': False,
+        'augment_camera': True})
+
+    out = tmp_path / 'imported'
+    import_main(str(src), str(out))
+
+    b3 = batch()
+    rl3 = ref_step(b3)[1]  # torch takes step 3
+
+    with jax.enable_x64():
+        from vpd_tpu.train.vipe import VIPEModel
+        model = VIPEModel(
+            encoder=FCResNet(EMB, BLOCKS, HID, dropout=0.,
+                             dtype=jnp.float64),
+            decoder=FCPoseDecoder((hid, hid), (TGT,), dropout=0.,
+                                  dtype=jnp.float64))
+        sample = {
+            'pose1': jnp.zeros((2, 13, 3), jnp.float64),
+            'pose2': jnp.zeros((2, 13, 3), jnp.float64),
+            'pose_neg': jnp.zeros((2, 13, 3), jnp.float64),
+            'dataset_id': jnp.zeros(2, jnp.int32),
+        }
+        template = model.init({'params': jax.random.key(0)}, sample,
+                              train=False)
+        tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=0.01)
+        state = VIPETrainState.create(
+            {'params': template['params'],
+             'batch_stats': template.get('batch_stats', {})}, tx)
+
+        # restore the imported bundle exactly as VIPETrainer.load_model
+        enc_t = ckpt.load_component(
+            str(out), 'epoch0002', 'encoder',
+            {'params': state.params['encoder'],
+             'batch_stats': state.batch_stats['encoder']})
+        dec_t = ckpt.load_component(
+            str(out), 'epoch0002', 'decoder-3d',
+            {'params': state.params['decoder'], 'batch_stats': {}})
+        opt_t = ckpt.load_component(
+            str(out), 'epoch0002', 'optimizer', state.opt_state)
+        state = state.replace(
+            params={'encoder': enc_t['params'],
+                    'decoder': dec_t['params']},
+            batch_stats={'encoder': enc_t['batch_stats'],
+                         'decoder': state.batch_stats.get('decoder', {})},
+            opt_state=opt_t)
+
+        step = make_train_step(model, kp_mask=np.ones((1, TGT)))
+        state, metrics = step(state, {
+            'pose1': b3['pose1'], 'pose2': b3['pose2'],
+            'pose_neg': b3['pose_neg'], 'neg_valid': b3['neg_valid'],
+            'kp_features': b3['kp_features'].astype(np.float32)
+                                            .astype(np.float64),
+            'dataset_id': np.zeros(n, np.int32),
+            'has_3d': np.ones(n, np.float64),
+        }, jax.random.key(2))
+        our_l3 = float(metrics['loss_sum']) / n
+        final_params = jax.device_get(dict(state.params))
+
+    assert abs(our_l3 - rl3) / abs(rl3) < 1e-9, (our_l3, rl3)
+
+    final_ref, _ = _transplant(enc, dec)  # torch after ITS step 3
+
+    def check_leaf(path, ours, reff):
+        ours, reff = np.asarray(ours), np.asarray(reff)
+        err = np.linalg.norm(ours - reff)
+        # atol floor: near-zero-gradient leaves carry Adam's f64
+        # rounding sensitivity (see the VPD trajectory oracle)
+        assert err <= 1e-9 + 1e-8 * np.linalg.norm(reff), \
+            (jax.tree_util.keystr(path), err)
+
+    jax.tree_util.tree_map_with_path(
+        check_leaf, final_params['encoder'], final_ref['encoder'])
+    jax.tree_util.tree_map_with_path(
+        check_leaf, final_params['decoder'], final_ref['decoder'])
+
+
 def test_fcresnet_forward_oracle():
     """Reference FCResNet forward (the real models/module.py, not a
     re-typed mirror) vs flax FCResNet with transplanted weights."""
@@ -2031,6 +2178,10 @@ def test_import_torch_model_vpd(tmp_path):
     ref_dir.mkdir()
     torch.save({'resnet.' + k: v for k, v in tmod.state_dict().items()},
                str(ref_dir / 'best_epoch.encoder.pt'))
+    # motion head: the reference fcn_time FCNet (train_vpd_model.py:
+    # 62-65, saved as {name}.decoder.pt by save_model :107-112)
+    fcn = mm.FCNet(emb, [128, 128], 2 * emb, dropout=0)
+    torch.save(fcn.state_dict(), str(ref_dir / 'best_epoch.decoder.pt'))
     with open(ref_dir / 'config.json', 'w') as fp:
         json.dump({
             'num_epochs': 1000, 'batch_size': 100,
@@ -2040,6 +2191,24 @@ def test_import_torch_model_vpd(tmp_path):
 
     out_dir = str(tmp_path / 'converted')
     import_main(str(ref_dir), out_dir)
+
+    # the converted motion head must load as the 'decoder' component our
+    # VPD resume expects and forward-match the torch fcn_time
+    import jax
+    from vpd_tpu.core import checkpoint as vckpt
+    from vpd_tpu.train.vpd import MotionHead
+    mh = MotionHead(emb)
+    tmpl = mh.init(jax.random.key(0), jnp.zeros((1, emb), jnp.float32))
+    loaded = vckpt.load_component(
+        out_dir, 'best_epoch', 'decoder',
+        {'params': tmpl['params'], 'batch_stats': {}})
+    e = np.random.default_rng(17).normal(0, 1, (3, emb)) \
+        .astype(np.float32)
+    fcn.eval()
+    with torch.no_grad():
+        want_m = fcn(torch.from_numpy(e)).numpy()
+    got_m = np.asarray(mh.apply({'params': loaded['params']}, e))
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-5, atol=1e-6)
 
     model, variables, config = load_student_dir(
         out_dir, dtype=jnp.float32)

@@ -136,6 +136,58 @@ def convert_fcresnet_state_dict(sd, num_blocks):
     return params, stats
 
 
+def convert_fcposedecoder_state_dict(sd, dataset_targets):
+    """Reference FCPoseDecoder state_dict -> (params, {}).
+
+    Torch layout (`models/module.py:211-227`): `fcn.layers.*` FCNet trunk
+    (batch_norm=False, so only Linear layers carry params) plus one
+    `fc_{dataset}` linear head per 3D dataset. Our decoder runs every
+    head as one padded `_MultiHead_0` einsum indexed by dataset_id
+    (`models/fc.py`), so heads are stacked in `dataset_targets` order —
+    the full config['datasets'] order, with zero rows for datasets that
+    have no 3D head (their columns are masked by the train step anyway).
+
+    dataset_targets: ordered [(name, flattened_3d_dim_or_0)].
+    """
+    def lin(prefix):
+        return {'kernel': _dense(sd[prefix + '.weight']),
+                'bias': np.asarray(sd[prefix + '.bias'])}
+
+    trunk_idx = sorted(
+        int(k.split('.')[2]) for k in sd
+        if k.startswith('fcn.layers.') and k.endswith('.weight'))
+    fcnet = {'Dense_{}'.format(i): lin('fcn.layers.{}'.format(j))
+             for i, j in enumerate(trunk_idx)}
+
+    head_dim = max(max(d for _, d in dataset_targets), 1)
+    last = fcnet['Dense_{}'.format(len(trunk_idx) - 1)]['kernel']
+    in_dim, dtype = last.shape[1], last.dtype  # keep source precision
+    ws, bs = [], []
+    for name, dim in dataset_targets:
+        w = np.zeros((in_dim, head_dim), dtype)
+        b = np.zeros((head_dim,), dtype)
+        if dim:
+            tw = _dense(sd['fc_{}.weight'.format(name)])
+            assert tw.shape == (in_dim, dim), (name, tw.shape, dim)
+            w[:, :dim] = tw
+            b[:dim] = sd['fc_{}.bias'.format(name)]
+        ws.append(w)
+        bs.append(b)
+    params = {'FCNet_0': fcnet,
+              '_MultiHead_0': {'kernel': np.stack(ws),
+                               'bias': np.stack(bs)}}
+    return params, {}
+
+
+def torch_param_names(sd):
+    """state_dict keys that are parameters (not buffers), in
+    `module.parameters()` order — torch emits a module's parameters
+    before its buffers and recurses in registration order, so filtering
+    the ordered state_dict preserves the optimizer's param indexing."""
+    return [k for k in sd
+            if k.endswith(('.weight', '.bias')) and 'running' not in k]
+
+
 def load_torch_state_dict(path):
     """Load a .pt state_dict on CPU as {key: ndarray} (torch required)."""
     import torch

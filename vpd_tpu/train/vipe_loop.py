@@ -32,10 +32,14 @@ def build_model(config, kp_dims):
         dropout=ENCODER_DROPOUT)
     decoder = None
     if any(d > 0 for d in kp_dims):
+        # reference decoder: FCPoseDecoder(emb, [h]*n, targets)
+        # (`train_vipe_model.py:304-307` with USE_RESNET_DECODER=False),
+        # i.e. an (n-1)-layer FCNet trunk + width-h last layer. n == 1 is
+        # reference-invalid (module.py:215 asserts len(hidden_dims) >= 2);
+        # tiny test configs use it, so pad to the minimum legal depth.
+        n, h = config['decoder_arch']
         decoder = FCPoseDecoder(
-            hidden_dims=tuple([config['decoder_arch'][1]]
-                              * config['decoder_arch'][0]
-                              + [config['decoder_arch'][1]]),
+            hidden_dims=(h,) * max(n, 2),
             target_dims=tuple(max(d, 1) for d in kp_dims),
             dropout=DECODER_DROPOUT)
     return VIPEModel(encoder=encoder, decoder=decoder)
