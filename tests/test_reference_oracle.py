@@ -614,6 +614,145 @@ def test_import_resume_trajectory_oracle(tmp_path):
         check_leaf, final_params['decoder'], final_ref['decoder'])
 
 
+def test_export_resume_trajectory_oracle(tmp_path):
+    """The mirror of the import oracle: train 2 steps HERE, save the
+    trainer's bundle (encoder + decoder-3d + optimizer), export with
+    `tools/export_torch_model`, `load_state_dict` everything into torch
+    models + a torch AdamW exactly as `train_vipe_model.load_model`
+    does (`:186-209`), then take step 3 on both sides — torch's
+    continuation must match ours to 1e-9. Both sides f64.
+    """
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+    from vpd_tpu.core import checkpoint as ckpt
+    from vpd_tpu.core.io import store_json
+    from vpd_tpu.models.fc import FCPoseDecoder, FCResNet
+    from vpd_tpu.tools.export_torch_model import main as export_main
+    from vpd_tpu.train.vipe import (VIPEModel, VIPETrainState,
+                                    make_train_step)
+
+    n, lr, hid = 16, 1e-3, 16
+    rng = np.random.default_rng(23)
+
+    def batch():
+        return {
+            'pose1': rng.normal(0, .5, (n, 13, 3)),
+            'pose2': rng.normal(0, .5, (n, 13, 3)),
+            'pose_neg': rng.normal(0, .5, (n, 13, 3)),
+            'neg_valid': (rng.uniform(size=n) < .8).astype(np.float64),
+            'kp_features': rng.normal(0, .4, (n, TGT)),
+        }
+
+    with jax.enable_x64():
+        model = VIPEModel(
+            encoder=FCResNet(EMB, BLOCKS, HID, dropout=0.,
+                             dtype=jnp.float64),
+            decoder=FCPoseDecoder((hid, hid), (TGT,), dropout=0.,
+                                  dtype=jnp.float64))
+        sample = {
+            'pose1': jnp.zeros((2, 13, 3), jnp.float64),
+            'pose2': jnp.zeros((2, 13, 3), jnp.float64),
+            'pose_neg': jnp.zeros((2, 13, 3), jnp.float64),
+            'dataset_id': jnp.zeros(2, jnp.int32),
+        }
+        variables = model.init({'params': jax.random.key(3)}, sample,
+                               train=False)
+        # flax initializers emit f32 params even under x64 (param_dtype
+        # default); cast so the whole trajectory is stored in f64 like
+        # the torch double() side
+        f64 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: jnp.asarray(a, jnp.float64), t)
+        tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=0.01)
+        state = VIPETrainState.create(
+            {'params': f64(variables['params']),
+             'batch_stats': f64(variables.get('batch_stats', {}))}, tx)
+        step = make_train_step(model, kp_mask=np.ones((1, TGT)))
+
+        def our_step(s, b):
+            return step(s, {
+                'pose1': b['pose1'], 'pose2': b['pose2'],
+                'pose_neg': b['pose_neg'], 'neg_valid': b['neg_valid'],
+                'kp_features': b['kp_features'].astype(np.float32)
+                                               .astype(np.float64),
+                'dataset_id': np.zeros(n, np.int32),
+                'has_3d': np.ones(n, np.float64),
+            }, jax.random.key(4))
+
+        for _ in range(2):  # the "interrupted" run here
+            state, _ = our_step(state, batch())
+
+        src = tmp_path / 'here_run'
+        src.mkdir()
+        ckpt.save_bundle(str(src), 'epoch0002', {
+            'encoder': {'params': state.params['encoder'],
+                        'batch_stats': state.batch_stats['encoder']},
+            'decoder-3d': {'params': state.params['decoder'],
+                           'batch_stats': {}},
+            'optimizer': state.opt_state,
+        })
+        store_json(str(src / 'config.json'), {
+            'datasets': [{'name': 'human36m', '3d_pose_shape': [20, 7],
+                          'mean_kp_offset_norms': None}],
+            'num_epochs': 10, 'learning_rate': lr, 'batch_size': n,
+            'embedding_dim': EMB, 'encoder_arch': [BLOCKS, HID],
+            'decoder_arch': [2, hid], 'embed_bones': False,
+            'augment_camera': True})
+
+        out = tmp_path / 'exported'
+        export_main(str(src), str(out))
+
+        b3 = batch()
+        state, metrics = our_step(state, b3)  # our step 3
+        our_l3 = float(metrics['loss_sum']) / n
+        final_ours = jax.device_get(dict(state.params))
+
+    # torch side: fresh models + AdamW, everything load_state_dict'd
+    # from the export, exactly as train_vipe_model.load_model does
+    import models.module as mm
+    from models.keypoint import Keypoint_EmbeddingModel
+
+    enc = mm.FCResNet(IN_DIM, EMB, BLOCKS, HID, dropout=0).double()
+    dec = mm.FCPoseDecoder(EMB, [hid, hid], [('human36m', TGT)]).double()
+    opt = torch.optim.AdamW(
+        list(enc.parameters()) + list(dec.parameters()), lr=lr)
+    enc.load_state_dict(torch.load(str(out / 'epoch0002.encoder.pt'),
+                                   map_location='cpu'))
+    dec.load_state_dict(torch.load(str(out / 'epoch0002.decoder-3d.pt'),
+                                   map_location='cpu'))
+    opt.load_state_dict(torch.load(str(out / 'epoch0002.optimizer.pt'),
+                                   map_location='cpu'))
+    ref_model = Keypoint_EmbeddingModel(enc, {'3d': dec}, 'cpu')
+
+    rl3 = ref_model.epoch(
+        [('human36m', [{
+            'pose1': torch.from_numpy(b3['pose1']),
+            'pose2': torch.from_numpy(b3['pose2']),
+            'pose_neg': torch.from_numpy(b3['pose_neg']),
+            'pose_neg_is_valid': torch.from_numpy(b3['neg_valid']),
+            'kp_features': torch.from_numpy(
+                b3['kp_features'].reshape(n, 20, 7)),
+        }])],
+        optimizer=opt)[1]
+
+    assert abs(our_l3 - rl3) / abs(rl3) < 1e-9, (our_l3, rl3)
+
+    final_ref, _ = _transplant(enc, dec)  # torch after ITS step 3
+
+    def check_leaf(path, ours, reff):
+        ours, reff = np.asarray(ours), np.asarray(reff)
+        err = np.linalg.norm(ours - reff)
+        assert err <= 1e-9 + 1e-8 * np.linalg.norm(reff), \
+            (jax.tree_util.keystr(path), err)
+
+    jax.tree_util.tree_map_with_path(
+        check_leaf, final_ours['encoder'], final_ref['encoder'])
+    jax.tree_util.tree_map_with_path(
+        check_leaf, final_ours['decoder'], final_ref['decoder'])
+
+
 def test_fcresnet_forward_oracle():
     """Reference FCResNet forward (the real models/module.py, not a
     re-typed mirror) vs flax FCResNet with transplanted weights."""

@@ -284,6 +284,40 @@ def export_fcresnet_state_dict(params, stats, num_blocks):
     return sd
 
 
+def export_fcposedecoder_state_dict(params, dataset_targets):
+    """Our padded-multi-head decoder params -> reference FCPoseDecoder
+    state_dict (inverse of convert_fcposedecoder_state_dict).
+
+    Replicates the torch FCNet Sequential indexing of
+    `models/module.py:133-153` (batch_norm=False: Linear at 0, then
+    ReLU/Linear[/Dropout] per hidden dim) and unpads each 3D dataset's
+    head out of `_MultiHead_0`.
+    """
+    fcnet = params['FCNet_0']
+    n_lin = len(fcnet)
+    idxs, pos = [0], 1
+    for i in range(n_lin - 1):  # torch FCNet hidden_dims count
+        pos += 1  # ReLU
+        idxs.append(pos)
+        pos += 1  # Linear
+        if i + 1 < n_lin - 1:
+            pos += 1  # Dropout
+    out = {}
+    for i, j in enumerate(idxs):
+        lin = fcnet['Dense_{}'.format(i)]
+        out['fcn.layers.{}.weight'.format(j)] = _dense_back(lin['kernel'])
+        out['fcn.layers.{}.bias'.format(j)] = np.asarray(lin['bias'])
+    head = params['_MultiHead_0']
+    for i, (name, dim) in enumerate(dataset_targets):
+        if not dim:
+            continue
+        out['fc_{}.weight'.format(name)] = _dense_back(
+            np.asarray(head['kernel'])[i][:, :dim])
+        out['fc_{}.bias'.format(name)] = np.asarray(
+            head['bias'])[i][:dim]
+    return out
+
+
 def save_torch_state_dict(path, sd):
     """Save {key: ndarray} as a torch .pt state_dict (torch required).
 
