@@ -59,6 +59,18 @@ def test_trainer_fit_checkpoints_and_resume(tmp_path):
     assert start == 3
     assert len(trainer2.losses) == 2
 
+    # a dir without optimizer state (serving-only import_torch_model
+    # output) still resumes — with fresh Adam moments and a warning,
+    # instead of crashing on the missing component
+    os.remove(os.path.join(save_dir, 'epoch0002.optimizer.ckpt'))
+    trainer3, _ = make_trainer(tmp_path)
+    assert trainer3.resume() == 3
+    enc2 = trainer2.state.params['encoder']['Dense_0']['kernel']
+    enc3 = trainer3.state.params['encoder']['Dense_0']['kernel']
+    np.testing.assert_array_equal(np.asarray(enc2), np.asarray(enc3))
+    tm, _ = trainer3.train_one_epoch(3)  # trains fine from fresh moments
+    assert np.isfinite(tm['loss'])
+
 
 def write_pose_json(path, num_frames=6, seed=0):
     rng = np.random.default_rng(seed)

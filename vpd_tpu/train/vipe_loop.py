@@ -118,9 +118,19 @@ class VIPETrainer:
         ckpt.save_bundle(self.save_dir, name, self._components())
 
     def load_model(self, name):
-        loaded = ckpt.load_bundle(
-            self.save_dir, name,
-            {k: v for k, v in self._components().items()})
+        targets = self._components()
+        # an optimizer component may be absent (a serving-only
+        # import_torch_model dir whose torch source had no
+        # {name}.optimizer.pt): resume with fresh Adam moments then,
+        # rather than crashing — the reference cannot resume such a dir
+        # at all (train_vipe_model.py:197-199 load is unconditional)
+        has_opt = os.path.exists(os.path.join(
+            self.save_dir, '{}.optimizer.ckpt'.format(name)))
+        if not has_opt:
+            targets.pop('optimizer')
+            print('WARNING: {} has no optimizer checkpoint; resuming '
+                  'with fresh optimizer state'.format(name))
+        loaded = ckpt.load_bundle(self.save_dir, name, targets)
         params = dict(self.state.params)
         stats = dict(self.state.batch_stats)
         params['encoder'] = loaded['encoder']['params']
@@ -132,7 +142,8 @@ class VIPETrainer:
                 stats['decoder'] = loaded['decoder-3d']['batch_stats']
         self.state = self.state.replace(
             params=params, batch_stats=stats,
-            opt_state=loaded['optimizer'])
+            opt_state=(loaded['optimizer'] if has_opt
+                       else self.state.opt_state))
         if MODEL_AXIS in self.mesh.shape and \
                 self.mesh.shape[MODEL_AXIS] > 1:
             # Restored arrays are host numpy (default-placed); re-apply the
