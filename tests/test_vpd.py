@@ -234,7 +234,7 @@ def test_vpd_resume(tmp_path):
     t1 = make()
     t1.save_config()
     t1.train_one_epoch(1)
-    t1.save_model('epoch0001')
+    t1.save_model('epoch0001', with_optimizer=True)
 
     t2 = make()
     start = t2.resume()
@@ -244,8 +244,21 @@ def test_vpd_resume(tmp_path):
     b = jax.tree_util.tree_leaves(t2.state.params['encoder'])
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # ...and so do the AdamW moments (resume continues the trajectory,
+    # not a fresh optimizer)
+    assert int(t2.state.opt_state[0].count) == int(t1.state.opt_state[0].count)
+    for x, y in zip(jax.tree_util.tree_leaves(t1.state.opt_state[0].mu),
+                    jax.tree_util.tree_leaves(t2.state.opt_state[0].mu)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
     t2.fit(start_epoch=start, log=lambda *a: None)
     assert len(t2.losses) == 2
+
+    # weights-only checkpoints (best_epoch / older dirs) still resume,
+    # with fresh moments
+    os.remove(str(tmp_path / 'model' / 'epoch0002.optimizer.ckpt'))
+    t3 = make()
+    assert t3.resume() == 3
+    assert int(t3.state.opt_state[0].count) == 0
 
 
 def test_jittered_extraction_variants(tmp_path):

@@ -168,8 +168,15 @@ class VPDTrainer:
                 'batch_stats': self.state.batch_stats.get('motion', {})}
         return comps
 
-    def save_model(self, name):
-        ckpt.save_bundle(self.save_dir, name, self._components())
+    def save_model(self, name, with_optimizer=False):
+        comps = self._components()
+        if with_optimizer:
+            # epoch checkpoints (the --resume source) carry the AdamW
+            # moments so a resumed run continues the same trajectory;
+            # best_epoch stays weights-only (it exists to be served,
+            # and moments double its size)
+            comps['optimizer'] = self.state.opt_state
+        ckpt.save_bundle(self.save_dir, name, comps)
 
     def _epoch(self, source, train):
         # Metrics stay on device until the epoch ends: a float() per step
@@ -223,7 +230,8 @@ class VPDTrainer:
                 self.save_model('best_epoch')
             freq = self.config.get('checkpoint_frequency')
             if freq and epoch % freq == 0:
-                self.save_model('epoch{:04d}'.format(epoch))
+                self.save_model('epoch{:04d}'.format(epoch),
+                                with_optimizer=True)
         return train_loss, val_loss
 
     def fit(self, start_epoch=1, log=print):
@@ -233,10 +241,19 @@ class VPDTrainer:
             log('Epoch {} - train loss: {:0.4f} val loss: {:0.4f}'.format(
                 epoch, train_loss, val_loss))
         if self.save_dir and epoch:
-            self.save_model('epoch{:04d}'.format(epoch))
+            self.save_model('epoch{:04d}'.format(epoch),
+                            with_optimizer=True)
 
     def load_model(self, name):
-        loaded = ckpt.load_bundle(self.save_dir, name, self._components())
+        targets = self._components()
+        # epoch checkpoints written by fit() carry the AdamW moments;
+        # best_epoch and older/imported dirs are weights-only and resume
+        # with fresh optimizer state
+        has_opt = os.path.exists(os.path.join(
+            self.save_dir, '{}.optimizer.ckpt'.format(name)))
+        if has_opt:
+            targets['optimizer'] = self.state.opt_state
+        loaded = ckpt.load_bundle(self.save_dir, name, targets)
         params = dict(self.state.params)
         stats = dict(self.state.batch_stats)
         params['encoder'] = loaded['encoder']['params']
@@ -246,7 +263,10 @@ class VPDTrainer:
             params['motion'] = loaded['decoder']['params']
             if loaded['decoder']['batch_stats']:
                 stats['motion'] = loaded['decoder']['batch_stats']
-        self.state = self.state.replace(params=params, batch_stats=stats)
+        self.state = self.state.replace(
+            params=params, batch_stats=stats,
+            opt_state=(loaded['optimizer'] if has_opt
+                       else self.state.opt_state))
 
     def resume(self):
         """Restore the last epoch checkpoint + loss history; returns the
