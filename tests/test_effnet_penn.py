@@ -144,6 +144,37 @@ def test_train_vpd_penn_cli(tmp_path, monkeypatch):
         losses[0]['val'])
 
 
+def test_train_vpd_resume_cli(tmp_path, monkeypatch):
+    """`--resume` through the train_vpd tool: a second invocation picks up
+    at the next epoch and extends loss.json (extends the reference, which
+    only resumes the teacher — `train_vpd_model.py` has no resume)."""
+    import vpd_tpu.tools.train_vpd as tv
+    from vpd_tpu.tools.train_vpd import main
+
+    real = tv.make_penn_sources
+
+    def small(*a, **k):  # shrink the 20000/4000 virtual epochs
+        tr, va, dim = real(*a, **k)
+        tr.target_len, va.target_len = 32, 16
+        return tr, va, dim
+
+    monkeypatch.setattr(tv, 'make_penn_sources', small)
+    penn_dir, frame_dir = _make_penn_dir(tmp_path)
+    save_dir = str(tmp_path / 'model')
+    args = dict(dataset='penn', save_dir=save_dir, checkpoint_frequency=1,
+                batch_size=8, learning_rate=5e-4, img_dim=32, flow_img=None,
+                motion=False, encoder_arch='resnet18', model_select_window=5,
+                pretrained=False, no_test_video=False, min_pose_score=None,
+                emb_dir=None, seed=0, penn_dir=penn_dir,
+                penn_frame_dir=frame_dir)
+    main(num_epochs=1, **args)
+    main(num_epochs=2, resume=True, **args)
+    with open(os.path.join(save_dir, 'loss.json')) as fp:
+        losses = json.load(fp)
+    assert [l['epoch'] for l in losses] == [1, 2]
+    assert all(np.isfinite(l['train']) for l in losses)
+
+
 def test_step_timer():
     timer = StepTimer(items_per_step=10, warmup=1)
     timer.start()

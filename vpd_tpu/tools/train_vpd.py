@@ -58,6 +58,11 @@ def get_args():
                              'paths.PENN_FRAME_DIR; the reference '
                              'hardcodes this path)')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--resume', action='store_true',
+                        help='continue from the last epoch checkpoint in '
+                             '--save_dir (extends the reference, which '
+                             'only resumes the teacher); epoch '
+                             'checkpoints carry the AdamW moments')
     parser.add_argument('--num_workers', type=int, default=0,
                         help='decode/sample worker processes '
                              '(reference DataLoader num_workers)')
@@ -127,7 +132,8 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          model_select_window, pretrained, no_test_video, min_pose_score,
          emb_dir, seed, num_workers=0, init_weights=None,
          crop_shards=None, augment_val=False, hbm_cache=False,
-         hbm_cache_sharded=False, penn_dir=None, penn_frame_dir=None):
+         hbm_cache_sharded=False, penn_dir=None, penn_frame_dir=None,
+         resume=False):
     hbm_cache = hbm_cache or hbm_cache_sharded
     if dataset == 'penn':
         # full-frame on-the-fly crops; no crop dir / shards / flow
@@ -145,7 +151,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
                     checkpoint_frequency, num_epochs, batch_size,
                     learning_rate, img_dim, flow_img, motion,
                     encoder_arch, model_select_window, pretrained,
-                    seed, init_weights, augment_val, hbm_cache)
+                    seed, init_weights, augment_val, hbm_cache, resume)
 
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
@@ -211,13 +217,14 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
     _fit(dataset, train_src, val_src, emb_dim, save_dir,
          checkpoint_frequency, num_epochs, batch_size, learning_rate,
          img_dim, flow_img, motion, encoder_arch, model_select_window,
-         pretrained, seed, init_weights, augment_val, hbm_cache)
+         pretrained, seed, init_weights, augment_val, hbm_cache, resume)
 
 
 def _fit(dataset, train_src, val_src, emb_dim, save_dir,
          checkpoint_frequency, num_epochs, batch_size, learning_rate,
          img_dim, flow_img, motion, encoder_arch, model_select_window,
-         pretrained, seed, init_weights, augment_val, hbm_cache):
+         pretrained, seed, init_weights, augment_val, hbm_cache,
+         resume=False):
     """Shared tail: prefetch placement, config manifest, trainer, fit."""
     # Single-device mesh: pre-shard on the prefetch thread so the H2D
     # upload starts while the previous step is in flight (shard_batch on
@@ -245,8 +252,13 @@ def _fit(dataset, train_src, val_src, emb_dim, save_dir,
     trainer = VPDTrainer(train_src, val_src, config, save_dir=save_dir,
                          mesh=mesh, seed=seed,
                          pretrained_weights=init_weights)
-    trainer.save_config()
-    trainer.fit()
+    start_epoch = 1
+    if resume:
+        start_epoch = trainer.resume()
+        print('Resuming from epoch', start_epoch)
+    else:
+        trainer.save_config()
+    trainer.fit(start_epoch=start_epoch)
     print('Done!')
 
 
