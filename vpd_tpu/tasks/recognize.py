@@ -229,17 +229,60 @@ def sample_embeddings(embs, labels, n, keep_ratio=False, seed=None):
     return {s: embs[s] for s in sub}
 
 
+def _train_fused_sweep(subsets, train_embs, train_labels, val_embs,
+                       val_labels, algorithm, trainer_kwargs, log):
+    """Train every trial of one few-shot size as ONE vmapped device
+    program (`train/fused_sweep.py`). Returns per-trial
+    (params, batch_stats) presets, or None when the subsets are not
+    fusable — a trial that does not see every class would get a smaller
+    classifier head in the sequential path, so such sizes fall back to
+    per-trial training (identical results, just slower).
+    """
+    from ..train.fused_sweep import FusedSweepTrainer
+
+    classes = sorted(set(train_labels[s] for s in train_embs))
+    for sub in subsets:
+        if sorted(set(train_labels[s] for s in sub)) != classes:
+            return None
+    cidx = classes.index
+    X_pool, y_pool = _expand_flip_rows(train_embs, train_labels, cidx)
+    row_seq = []
+    for seq, embs in train_embs.items():
+        if embs is None:
+            continue
+        k = embs.shape[1] if len(embs.shape) == 3 else 1
+        row_seq.extend([seq] * k)
+    member_rows = [[r for r, s in enumerate(row_seq) if s in sub]
+                   for sub in subsets]
+    if any(not rows for rows in member_rows):
+        return None
+    X_val = y_val = None
+    if val_embs:
+        X_val, y_val = _expand_flip_rows(val_embs, val_labels, cidx)
+    try:
+        fused = FusedSweepTrainer(
+            algorithm, X_pool, y_pool, member_rows, X_val=X_val,
+            y_val=y_val, log=log, **trainer_kwargs)
+    except ValueError as exc:
+        log('fused sweep fallback to sequential trials: {}'.format(exc))
+        return None
+    return [fused.member(i) for i in range(len(subsets))]
+
+
 def run_action_recognition(
         categories, train_embs, train_labels, val_embs, val_labels,
         test_embs, test_labels, out_dir, algorithm, k, num_train_examples,
         few_shot_template, hidden_dim, attn, num_epochs, val_freq,
         n_trials, no_test_flip, load_action_ids_fn=None, load_weights=None,
-        device_knn=False, device_max_len=128, log=print):
+        device_knn=False, device_max_len=128, fused_sweep=False, log=print):
     """Few-shot evaluation protocol (`recognize.py:453-577`).
 
     `device_knn=True` precomputes the full test x train DTW matrix on
     device once (sequences truncated to device_max_len) and reuses it
-    across every few-shot size and trial. Returns {ne: [trial accs]}.
+    across every few-shot size and trial. `fused_sweep=True` trains all
+    trials of a few-shot size as one vmapped device program (equality
+    with the sequential path tested in tests/test_fused_sweep.py).
+    Returns {ne: [trial accs]}.
     """
     from ..datasets.load import load_action_ids
     if load_action_ids_fn is None:
@@ -285,27 +328,33 @@ def run_action_recognition(
                 hidden_dim, int(seqs[0].shape[-1]), bucket_floor,
                 **pw_kwargs)
 
-    def build_model(embs):
+    def seq_kwargs():
+        kwargs = {'hidden_dim': hidden_dim, 'num_epochs': num_epochs,
+                  'val_freq': val_freq,
+                  'early_term_val_num_epochs': num_epochs // 3}
+        if algorithm in ('gru', 'lstm'):
+            kwargs['use_attention'] = attn
+        if bucket_floor is not None:
+            kwargs['bucket_floor'] = bucket_floor
+        return kwargs
+
+    def build_model(embs, preset=None):
         if knn_index is not None:
             return DeviceKnnModel(knn_index, set(embs), k)
         if algorithm in SEQ_MODELS:
             assert k == 1
-            kwargs = {'hidden_dim': hidden_dim, 'num_epochs': num_epochs,
-                      'val_freq': val_freq,
-                      'early_term_val_num_epochs': num_epochs // 3}
-            if algorithm in ('gru', 'lstm'):
-                kwargs['use_attention'] = attn
+            kwargs = seq_kwargs()
             if load_weights is not None:
                 kwargs['load_weights'] = load_weights
-            if bucket_floor is not None:
-                kwargs['bucket_floor'] = bucket_floor
+            if preset is not None:
+                kwargs['preset'] = preset
             return SeqModel(algorithm, embs, train_labels,
                             val_embs=val_embs, val_labels=val_labels,
                             **kwargs)
         return KnnModel(algorithm, embs, train_labels, k)
 
-    def run_trial(trial, embs, ne):
-        model = build_model(embs)
+    def run_trial(trial, embs, ne, preset=None):
+        model = build_model(embs, preset)
         results = []
         errors = 0
         for action_id, action_embs in test_embs.items():
@@ -350,16 +399,26 @@ def run_action_recognition(
     accs = {}
     try:
         for ne in num_train_examples:
-            trial_accs = []
+            subsets = []
             for i in range(n_trials):
                 if ne > 0:
                     ids = load_action_ids_fn(
                         few_shot_template.format(ne, i))
-                    embs = {a: b for a, b in train_embs.items()
-                            if a in ids}
+                    subsets.append({a: b for a, b in train_embs.items()
+                                    if a in ids})
                 else:
-                    embs = train_embs
-                trial_accs.append(run_trial(i, embs, ne))
+                    subsets.append(train_embs)
+            presets = None
+            if (fused_sweep and algorithm in SEQ_MODELS
+                    and load_weights is None and n_trials > 1):
+                presets = _train_fused_sweep(
+                    subsets, train_embs, train_labels, val_embs,
+                    val_labels, algorithm, seq_kwargs(), log)
+            trial_accs = []
+            for i in range(n_trials):
+                trial_accs.append(run_trial(
+                    i, subsets[i], ne,
+                    preset=presets[i] if presets else None))
             log('{}-shot mean accuracy: {:0.3f} +/- {:0.3f}'.format(
                 ne if ne > 0 else 'full',
                 np.mean(trial_accs) * 100, np.std(trial_accs) * 100))

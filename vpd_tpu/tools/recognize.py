@@ -48,6 +48,10 @@ def get_args():
                              'few-shot kNN trials')
     parser.add_argument('-w', '--load_weights', type=str,
                         help='Load a pretrained head checkpoint')
+    parser.add_argument('--fused_sweep', action='store_true',
+                        help='Train all trials of a few-shot size as one '
+                             'vmapped device program (sequence heads only; '
+                             'same results as sequential trials)')
     return parser.parse_args()
 
 
@@ -84,7 +88,7 @@ def load_diving48_data(emb_dir, norm, target_fps, use_v1):
 def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
          hidden_dim, attn, target_fps, num_epochs, val_freq, n_trials,
          no_test_flip, retrieve, device_retrieval=False,
-         device_knn=False, load_weights=None):
+         device_knn=False, load_weights=None, fused_sweep=False):
     val_embs = val_labels = None
     if dataset.startswith('diving48'):
         (categories, train_embs, train_labels, test_embs,
@@ -141,7 +145,8 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
             test_embs, test_labels, out_dir, algorithm, k,
             num_train_examples, few_shot_file, hidden_dim, attn,
             num_epochs, val_freq, n_trials, no_test_flip,
-            device_knn=device_knn, load_weights=load_weights)
+            device_knn=device_knn, load_weights=load_weights,
+            fused_sweep=fused_sweep)
 
 
 if __name__ == '__main__':

@@ -168,8 +168,8 @@ class SeqModelTrainer:
                  num_epochs=500, min_epochs=10, wr_count=10,
                  early_term_acc=1, X_val=None, y_val=None, val_freq=1,
                  early_term_val_num_epochs=200, learning_rate=0.001,
-                 load_weights=None, seed=0, log=None, bucket_floor=None,
-                 **kwargs):
+                 load_weights=None, preset=None, seed=0, log=None,
+                 bucket_floor=None, **kwargs):
         self.num_classes = int(np.unique(np.asarray(y)).shape[0])
         self.model = make_model(arch_type, self.num_classes, hidden_dim,
                                 **kwargs)
@@ -200,6 +200,10 @@ class SeqModelTrainer:
         if load_weights is not None:  # pretrained head, skip training
             self._logits = self._make_logits_fn()
             self.load(load_weights)
+            return
+        if preset is not None:  # trained elsewhere (fused sweep)
+            self.params, self.batch_stats = preset
+            self._logits = self._make_logits_fn()
             return
 
         tx = _shared_tx()
