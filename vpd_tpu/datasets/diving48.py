@@ -1,7 +1,10 @@
 """Diving48 vocab/split and embedding loaders.
 
-Parity with reference `diving48/util.py:22-74` (v1 + v2 splits, target-fps
-subsampling with the +0.01 accumulator bias, NaN guard).
+Behavioral parity with reference `diving48/util.py:22-74` (re-derived:
+fps subsampling via the shared datasets/subsample.py mask primitive,
+including the reference's +0.01 rate bias and zero starting credit;
+differential-tested in test_reference_oracle.py). The reference's NaN
+passthrough is fixed here with a nan_to_num guard (QUIRKS.md).
 """
 
 import os
@@ -10,6 +13,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..core.io import load_json, load_pickle
+from .subsample import subsample_rows
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)), 'data',
                         'diving48')
@@ -26,49 +30,46 @@ class Category(NamedTuple):
 
 
 def load_categories(path=DIVING48_CATEGORY_FILE):
-    return {i: Category(' '.join(seq), seq)
-            for i, seq in enumerate(load_json(path))}
+    return {i: Category(' '.join(stages), stages)
+            for i, stages in enumerate(load_json(path))}
 
 
 def _normalize_rows(x):
     d = np.linalg.norm(x, axis=1, keepdims=True)
-    d[d < 1e-12] = 1
-    return x / d
+    return x / np.where(d < 1e-12, 1.0, d)
+
+
+def _load_window_embs(emb_path, lo, hi, rate):
+    """Stack rows with lo <= frame < hi, then fps-subsample them."""
+    rows = [emb for frame_num, emb, _ in load_pickle(emb_path)
+            if lo <= frame_num < hi]
+    if not rows:
+        return None
+    out = subsample_rows(np.stack(rows), rate, credit=0.0)
+    return out if len(out) else None
 
 
 def load_labels_and_embeddings(label_file, meta_dict=None, emb_dir=None,
                                norm=False, target_fps=None):
+    """({video: label}, {video: ((start, end), embs or None)})."""
     labels, data = {}, {}
     for action in load_json(label_file):
         video_id = action['vid_name']
-        start_frame = action['start_frame']
-        end_frame = action['end_frame']
+        window = (action['start_frame'], action['end_frame'])
 
-        embs = []
+        embs = None
         if emb_dir is not None:
-            video_meta = meta_dict.get(video_id)
-            sample_incr = 1
-            if target_fps is not None:
-                sample_incr = min(1, target_fps / video_meta.fps) + 0.01
-            sample_balance = 0
-
             emb_path = os.path.join(emb_dir, video_id + '.emb.pkl')
             if os.path.isfile(emb_path):
-                for frame_num, emb, _ in load_pickle(emb_path):
-                    if start_frame <= frame_num < end_frame:
-                        if sample_balance >= 0:
-                            sample_balance -= 1
-                            embs.append(emb)
-                        sample_balance += sample_incr
-
-        if embs:
-            embs = np.stack(embs)
-            if np.isnan(embs).any():
-                embs = np.nan_to_num(embs, copy=False)
-            if norm:
-                embs = _normalize_rows(embs)
-        else:
-            embs = None
+                rate = 1.0
+                if target_fps is not None:
+                    rate = min(1, target_fps / meta_dict[video_id].fps) + 0.01
+                embs = _load_window_embs(emb_path, *window, rate)
+            if embs is not None:
+                if np.isnan(embs).any():
+                    embs = np.nan_to_num(embs, copy=False)
+                if norm:
+                    embs = _normalize_rows(embs)
         labels[video_id] = action['label']
-        data[video_id] = ((start_frame, end_frame), embs)
+        data[video_id] = (window, embs)
     return labels, data

@@ -1,8 +1,9 @@
 """FineGym (Gym99) annotation and embedding loaders.
 
-Parity with reference `finegym/util.py:32-124`, including the fps-aware
-target-fps subsampling with the fractional sample-balance accumulator and
-the 0.25 s pre-roll convention used by recognize.py.
+Behavioral parity with reference `finegym/util.py:32-124` (re-derived:
+window math as one clamp chain, fps subsampling via the shared
+datasets/subsample.py mask primitive instead of an inline walker;
+differential-tested in test_reference_oracle.py).
 """
 
 import math
@@ -12,6 +13,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..core.io import load_pickle
+from .subsample import subsample_rows
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)), 'data',
                         'finegym')
@@ -29,43 +31,57 @@ class Category(NamedTuple):
     name: str
 
 
-def _parse_label(s):
-    return int(s.split(':', 1)[1].strip())
-
-
 def load_categories(file_name=GYM99_CATEGORY_FILE):
+    """Parse 'class: N; set: N; g530: N; (event) name' category lines."""
     result = {}
     with open(file_name) as fp:
         for line in fp:
-            clabel, slabel, glabel, data = line.split(';')
-            clabel = _parse_label(clabel)
-            slabel = _parse_label(slabel)
-            glabel = _parse_label(glabel)
-            event, name = data.strip()[1:].split(')', 1)
-            result[clabel] = Category(clabel, slabel, glabel, event,
-                                      name.strip())
+            fields = line.split(';')
+            cid, sid, gid = (int(f.split(':', 1)[1]) for f in fields[:3])
+            event, name = fields[3].strip()[1:].split(')', 1)
+            result[cid] = Category(cid, sid, gid, event, name.strip())
     return result
 
 
 def load_labels(file_name):
-    result = {}
     with open(file_name) as fp:
-        for line in fp:
-            action_id, label = line.split(' ')
-            result[action_id] = int(label)
-    return result
+        rows = (line.split(' ') for line in fp)
+        return {action_id: int(label) for action_id, label in rows}
 
 
 def parse_full_action_id(s):
-    s, action_id = s.split('_A_')
-    video_id, event_id = s.split('_E_')
-    return video_id, 'E_' + event_id, 'A_' + action_id
+    """'<video>_E_<event>_A_<action>' -> (video, 'E_<event>', 'A_<action>')."""
+    rest, action = s.split('_A_')
+    video, event = rest.split('_E_')
+    return video, 'E_' + event, 'A_' + action
+
+
+def _action_window(timestamps, pre_seconds, min_seconds, max_seconds, fps):
+    """Clamp the annotated [start, end] span and convert to frames."""
+    start, end = timestamps
+    span = end - start
+    if span > max_seconds:
+        end = start + max_seconds
+    elif span < min_seconds:
+        end = start + min_seconds
+    start = max(start - pre_seconds, 0)
+    return math.floor(start * fps), math.ceil(end * fps)
 
 
 def _normalize_rows(x):
     d = np.linalg.norm(x, axis=1, keepdims=True)
-    d[d < 1e-12] = 1
-    return x / d
+    return x / np.where(d < 1e-12, 1.0, d)
+
+
+def _load_window_embs(emb_path, lo, hi, rate, interp_skipped):
+    """Stack rows with lo <= frame <= hi, then fps-subsample them."""
+    rows = [emb for frame_num, emb, _ in load_pickle(emb_path)
+            if lo <= frame_num <= hi]
+    if not rows:
+        return None
+    out = subsample_rows(np.stack(rows), rate, credit=1.0,
+                         interp_skipped=interp_skipped)
+    return out if len(out) else None
 
 
 def load_actions(annotations, labels, meta_dict, emb_dir=None, norm=False,
@@ -76,53 +92,24 @@ def load_actions(annotations, labels, meta_dict, emb_dir=None, norm=False,
     for full_action_id in labels:
         video_id, event_id, action_id = parse_full_action_id(full_action_id)
         video_event_id = '{}_{}'.format(video_id, event_id)
-
         video_meta = meta_dict.get(video_event_id)
         if video_meta is None:
             continue
 
-        timestamps = annotations[video_id][event_id]['segments'][
-            action_id]['timestamps']
-        start, end = timestamps[0]
-        if end - start > max_seconds:
-            end = start + max_seconds
-        elif end - start < min_seconds:
-            end = start + min_seconds
-        if pre_seconds > 0:
-            start -= pre_seconds
-        start = max(start, 0)
+        start_frame, end_frame = _action_window(
+            annotations[video_id][event_id]['segments'][action_id][
+                'timestamps'][0],
+            pre_seconds, min_seconds, max_seconds, video_meta.fps)
 
-        start_frame = math.floor(start * video_meta.fps)
-        end_frame = math.ceil(end * video_meta.fps)
-
-        embs = []
+        embs = None
         if emb_dir is not None:
-            sample_incr = 1
-            if target_fps is not None:
-                sample_incr = min(1, target_fps / video_meta.fps)
-            sample_balance = 1
-
             emb_path = os.path.join(emb_dir, video_event_id + '.emb.pkl')
             if os.path.isfile(emb_path):
-                skipped = []
-                for frame_num, emb, _ in load_pickle(emb_path):
-                    if start_frame <= frame_num <= end_frame:
-                        if sample_balance >= 0:
-                            sample_balance -= 1
-                            if interp_skipped and skipped:
-                                skipped.append(emb)
-                                emb = np.mean(skipped, axis=0)
-                                skipped = []
-                            embs.append(emb)
-                        elif interp_skipped:
-                            skipped.append(emb)
-                        sample_balance += sample_incr
-
-        if embs:
-            embs = np.stack(embs)
-            if norm:
-                embs = _normalize_rows(embs)
-        else:
-            embs = None
+                rate = (1.0 if target_fps is None
+                        else min(1, target_fps / video_meta.fps))
+                embs = _load_window_embs(emb_path, start_frame, end_frame,
+                                         rate, interp_skipped)
+                if embs is not None and norm:
+                    embs = _normalize_rows(embs)
         result[full_action_id] = ((start_frame, end_frame), embs)
     return result

@@ -1,22 +1,22 @@
 """Dense per-frame embedding matrices and action label loading.
 
-Parity with reference `action_dataset/load.py`. `group_by_frame` densifies
-sparse per-frame rows into a (num_frames, [flip,] D) matrix, averaging
-multiple detections and filling gaps by interpolation.
+Behavioral parity with reference `action_dataset/load.py` (re-derived,
+vectorized implementation — differential-tested in
+tests/test_reference_oracle.py::test_group_by_frame_oracle).
 
 NOTE: the gap interpolation deliberately reproduces the reference's
-weighting (`action_dataset/load.py:34-42`), where the blend coefficient is
-applied to the *previous* frame as `a = i/gap` toward... the previous
-value — i.e. reversed from textbook lerp. Downstream models were trained
-with this convention; keep it.
+weighting (`action_dataset/load.py:34-42`), where the blend coefficient
+`a = i/gap` is applied to the *previous* frame — i.e. reversed from
+textbook lerp. Downstream models were trained with this convention;
+keep it (QUIRKS.md).
 """
 
+import os
 from typing import NamedTuple
 
 import numpy as np
 
 from ..core.io import load_pickle
-import os
 
 
 class Category(NamedTuple):
@@ -24,74 +24,76 @@ class Category(NamedTuple):
 
 
 def group_by_frame(embs):
-    num_frames = max(x[0] for x in embs) + 1
-    emb_shape = embs[0][1].shape
-    if len(emb_shape) == 2:
-        dense = np.zeros((num_frames, *emb_shape))
-    else:
-        dense = np.zeros((num_frames, emb_shape[-1]))
+    """Densify sparse per-frame rows into (num_frames, [k,] D).
+
+    Multiple detections on one frame are averaged; frames between two
+    detections are filled with the reference's reversed lerp; frames
+    before the first / after the last detection stay zero. Returns
+    (dense, has_detection_mask).
+    """
+    frame_idx = np.asarray([row[0] for row in embs], dtype=np.int64)
+    values = np.stack([row[1] for row in embs])
+    num_frames = int(frame_idx.max()) + 1
+
+    # Accumulate detections per frame, then average where count > 0.
+    inner = values.shape[1:] if values.ndim >= 3 else values.shape[-1:]
+    dense = np.zeros((num_frames, *inner))
+    np.add.at(dense, frame_idx, values)
     counts = np.zeros(num_frames)
-    for i, e, _ in embs:
-        dense[i, :] += e
-        counts[i] += 1
+    np.add.at(counts, frame_idx, 1.0)
+    present = counts > 0
+    dense[present] /= counts[present].reshape(
+        (-1,) + (1,) * (dense.ndim - 1))
 
-    frames = sorted({x[0] for x in embs})
-    for i in frames:
-        if counts[i] > 0:
-            dense[i, :] /= counts[i]
+    # Fill interior gaps. For a gap of size g between present frames
+    # p < q, offsets i = 1..g-1 get a = i/g applied to dense[p] (the
+    # reference's reversed convention, see module docstring).
+    hits = np.flatnonzero(present)
+    gaps = np.diff(hits)
+    wide = np.flatnonzero(gaps > 1)
+    if wide.size:
+        offs = np.concatenate([np.arange(1, gaps[w]) for w in wide])
+        prev = np.repeat(hits[wide], gaps[wide] - 1)
+        nxt = np.repeat(hits[wide + 1], gaps[wide] - 1)
+        a = (offs / gaps[np.repeat(wide, gaps[wide] - 1)]).reshape(
+            (-1,) + (1,) * (dense.ndim - 1))
+        dense[prev + offs] = a * dense[prev] + (1. - a) * dense[nxt]
 
-    prev_frame = frames[0]
-    for frame in frames[1:]:
-        gap = frame - prev_frame
-        if gap > 1:
-            for i in range(1, gap):
-                a = i / gap
-                dense[prev_frame + i, :] = (
-                    a * dense[prev_frame, :] + (1. - a) * dense[frame, :])
-        prev_frame = frame
-    return dense, counts > 0
+    return dense, present
 
 
 def normalize_rows(x):
-    d = np.linalg.norm(x, axis=1 if len(x.shape) == 2 else 2, keepdims=True)
-    d[d < 1e-12] = 1
-    return x / d
+    """L2-normalize along the embedding axis; near-zero rows pass through."""
+    d = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.where(d < 1e-12, 1.0, d)
 
 
 def load_embs(emb_dir, norm, emb_ext='.emb.pkl', log=print):
+    """{video: (dense (T, [k,] D), present mask)} over *.emb.pkl files."""
     log('Loading embs: {}'.format(emb_dir))
-    emb_dict = {
-        emb_file[:-len(emb_ext)]: group_by_frame(
-            load_pickle(os.path.join(emb_dir, emb_file)))
-        for emb_file in os.listdir(emb_dir)
-        if emb_file.endswith(emb_ext)
-    }
-    if norm:
-        emb_dict = {k: (normalize_rows(e), m)
-                    for k, (e, m) in emb_dict.items()}
-    return emb_dict
+    result = {}
+    for fname in os.listdir(emb_dir):
+        if not fname.endswith(emb_ext):
+            continue
+        dense, mask = group_by_frame(
+            load_pickle(os.path.join(emb_dir, fname)))
+        if norm:
+            dense = normalize_rows(dense)
+        result[fname[:-len(emb_ext)]] = (dense, mask)
+    return result
 
 
 def load_actions(action_file):
-    actions = {}
-    with open(action_file, 'r') as fp:
-        for line in fp:
-            line = line.strip()
-            if line:
-                action, label = line.split(' ')
-                actions[action] = label
-    return actions
+    """'<action> <label>' lines -> {action: label}."""
+    with open(action_file) as fp:
+        rows = (line.split() for line in fp if line.strip())
+        return {action: label for action, label in rows}
 
 
 def load_action_ids(id_file):
-    ids = set()
     with open(id_file) as fp:
-        for line in fp:
-            line = line.strip()
-            if line:
-                ids.add(line)
-    return ids
+        return {line.strip() for line in fp if line.strip()}
 
 
 def to_categories(classes):
-    return {i: Category(c) for i, c in enumerate(classes)}
+    return dict(enumerate(Category(c) for c in classes))

@@ -1,9 +1,12 @@
 """Canonical (view-independent) orientation of a 3D skeleton.
 
-Parity with reference `vipe_dataset/util.py:57-85`: SVD of the torso point
-cloud gives forward/up axes; when the torso pitches past 45° the forward
-vector interpolates toward the (sign-corrected) spine axis so lying-down
-poses stay well-defined.
+Behavioral parity with reference `vipe_dataset/util.py:57-85`
+(re-derived: sign-aligned principal axes + one clipped interpolation
+expression instead of the reference's five-way branch; differential-
+tested in test_reference_oracle.py::test_canonical_orientation_oracle).
+The geometry: SVD of the torso point cloud gives forward/up axes; when
+the torso pitches past 45 degrees the forward vector blends toward the
+(sign-corrected) spine axis so lying-down poses stay well-defined.
 """
 
 import numpy as np
@@ -11,26 +14,26 @@ import numpy as np
 Z_UNIT = np.array([0., 0., 1.])
 
 
+def _align_sign(axis, hint):
+    """Flip `axis` so it points into the same half-space as `hint`."""
+    return axis if axis @ hint >= 0 else -axis
+
+
 def get_canonical_orientation(X, torso_forward_vec, spine_up_vec,
                               interp_start=45, interp_range=30):
-    X_zm = X - np.mean(X, axis=0).flatten()
-    _, _, V = np.linalg.svd(X_zm)
-    torso_forward_vec = (-V[2, :] if V[2, :].dot(torso_forward_vec) < 0
-                         else V[2, :])
-    spine_up_vec = -V[0, :] if V[0, :].dot(spine_up_vec) < 0 else V[0, :]
+    V = np.linalg.svd(X - X.mean(axis=0))[2]
+    up = _align_sign(V[0], spine_up_vec)
+    fwd = _align_sign(V[2], torso_forward_vec)
 
-    torso_pitch = np.degrees(np.arcsin(torso_forward_vec[2]))
-    if torso_pitch > interp_start:
-        if torso_pitch < interp_start + interp_range:
-            theta = (torso_pitch - interp_start) / interp_range
-            return theta * -spine_up_vec + (1. - theta) * torso_forward_vec
-        return -spine_up_vec
-    elif torso_pitch < -interp_start:
-        if torso_pitch > -interp_start - interp_range:
-            theta = (-torso_pitch - interp_start) / interp_range
-            return theta * spine_up_vec + (1. - theta) * torso_forward_vec
-        return spine_up_vec
-    return torso_forward_vec
+    pitch = np.degrees(np.arcsin(fwd[2]))
+    # Blend weight ramps 0 -> 1 over [interp_start, interp_start +
+    # interp_range] degrees of |pitch|; the blend target is the spine
+    # axis oriented against the pitch direction.
+    t = np.clip((abs(pitch) - interp_start) / interp_range, 0.0, 1.0)
+    if t == 0.0:
+        return fwd
+    target = -up if pitch > 0 else up
+    return t * target + (1. - t) * fwd
 
 
 def canonicalize(xyz, torso_rows, left_row, right_row, neck_vec):

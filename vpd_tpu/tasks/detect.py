@@ -54,25 +54,46 @@ DATA_CONFIGS = {
 
 
 def get_video_intervals(examples):
-    """De-overlapped GT frame intervals per video (`detect.py:98-111`)."""
-    result = defaultdict(list)
-    for label in examples:
-        result[label.video].append((label.start_frame, label.end_frame))
+    """De-overlapped GT frame intervals per video.
 
-    def deoverlap(intervals):
-        ret = []
-        for a, b in sorted(intervals):
-            if not ret or ret[-1][1] < a:
-                ret.append((a, b))
+    Behavioral parity with `detect.py:98-111`: spans sorted by (start,
+    end); a span touching the previous merged span REPLACES its end
+    (even when that shortens it — the reference takes the later span's
+    end unconditionally, see QUIRKS.md).
+    """
+    by_video = defaultdict(list)
+    for ex in examples:
+        by_video[ex.video].append((ex.start_frame, ex.end_frame))
+
+    out = {}
+    for video, spans in by_video.items():
+        merged = []
+        for start, end in sorted(spans):
+            if merged and start <= merged[-1][1]:
+                merged[-1][1] = end
             else:
-                ret[-1] = (ret[-1][0], b)
-        return tuple(ret)
+                merged.append([start, end])
+        out[video] = tuple(tuple(span) for span in merged)
+    return out
 
-    return {k: deoverlap(v) for k, v in result.items()}
+
+def _frame_activity_labels(num_frames, spans):
+    """Binary per-frame labels from a list of (start, end) GT spans."""
+    vy = np.zeros(num_frames, dtype=np.int32)
+    for start, end in spans:
+        vy[start:end] = 1
+    return vy
 
 
 class ProposalModel:
-    """Dense embs + GT intervals -> ensemble trainer (`detect.py:114-173`)."""
+    """Dense embs + GT intervals -> ensemble trainer.
+
+    Behavioral parity with `detect.py:114-173` (re-derived): each train
+    video contributes its dense (T, [k,] D) embedding matrix with binary
+    frame labels; flip columns become separate training sequences that
+    share their video's K-fold assignment via custom_split (custom_split
+    entries exist only for flip-column videos, as in the reference).
+    """
 
     NUM_TRAIN_EPOCHS = 25
     MIN_TRAIN_EPOCHS = 10
@@ -80,25 +101,20 @@ class ProposalModel:
     def __init__(self, arch_type, emb_dict, train_labels, hidden_dim,
                  ensemble_size, splits=5, **kwargs):
         self.embs = emb_dict
-        train_videos = sorted({l.video for l in train_labels
-                               if l.video in emb_dict})
-
-        def get_gt(video):
-            vx, _ = emb_dict[video]
-            vy = np.zeros(vx.shape[0], dtype=np.int32)
-            for l in train_labels:
-                if l.video == video:
-                    vy[l.start_frame:l.end_frame] = 1
-            return vx, vy
+        spans_by_video = defaultdict(list)
+        for l in train_labels:
+            if l.video in emb_dict:
+                spans_by_video[l.video].append((l.start_frame, l.end_frame))
 
         X, y, custom_split = [], [], None
-        for i, v in enumerate(train_videos):
-            vx, vy = get_gt(v)
-            if len(vx.shape) == 3:
+        for i, video in enumerate(sorted(spans_by_video)):
+            vx = emb_dict[video][0]
+            vy = _frame_activity_labels(vx.shape[0], spans_by_video[video])
+            if vx.ndim == 3:
                 if custom_split is None:
                     custom_split = []
-                for j in range(vx.shape[1]):
-                    X.append(vx[:, j, :])
+                for col in np.moveaxis(vx, 1, 0):
+                    X.append(col)
                     y.append(vy)
                     custom_split.append(i)
             else:
@@ -116,9 +132,8 @@ class ProposalModel:
 
     def predict(self, video):
         x = self.embs[video][0]
-        if len(x.shape) == 3:
-            return self.model.predict_n(
-                *[x[:, i, :] for i in range(x.shape[1])])
+        if x.ndim == 3:
+            return self.model.predict_n(*np.moveaxis(x, 1, 0))
         return self.model.predict(x)
 
 

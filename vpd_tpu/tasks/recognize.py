@@ -58,20 +58,21 @@ class SeqModel:
             arch_type, X, y, hidden_dim, X_val=X_val, y_val=y_val, **kwargs)
 
     def predict(self, x, ensemble=True):
-        if x is not None:
-            try:
-                if len(x.shape) == 3:
-                    if ensemble:
-                        pred = self.model.predict_n(
-                            *[x[:, i, :] for i in range(x.shape[1])])[0]
-                    else:
-                        pred = self.model.predict(x[:, 0, :])[0]
-                else:
-                    pred = self.model.predict(x)[0]
-                return self.classes[pred], None
-            except Exception as e:  # most-common fallback (parity)
-                print(e)
-        return self.top_class, None
+        if x is None:
+            return self.top_class, None
+        try:
+            # (T, k, D) flip columns become ensemble variants; without
+            # ensembling only the unflipped first column is scored
+            variants = ([x[:, j, :] for j in range(x.shape[1])]
+                        if x.ndim == 3 else [x])
+            if not ensemble:
+                variants = variants[:1]
+            pred = (self.model.predict_n(*variants) if len(variants) > 1
+                    else self.model.predict(variants[0]))[0]
+            return self.classes[pred], None
+        except Exception as e:  # most-common fallback (parity)
+            print(e)
+            return self.top_class, None
 
     def save_model(self, out_path):
         self.model.save(out_path)
@@ -213,20 +214,23 @@ class DeviceKnnModel:
 
 
 def sample_embeddings(embs, labels, n, keep_ratio=False, seed=None):
-    """Per-class subsampling (`recognize.py:187-199`)."""
+    """Per-class subsampling to n examples (or, with keep_ratio, to a
+    quota proportional to the class size relative to the smallest
+    class). Behavioral parity with `recognize.py:187-199`, incl. the
+    rng.choice draw order (one draw per oversized class, in insertion
+    order)."""
     rng = np.random.default_rng(seed)
-    label_to_seqs = defaultdict(list)
+    by_label = defaultdict(list)
     for seq in embs:
-        label_to_seqs[labels[seq]].append(seq)
-    least = min(len(x) for x in label_to_seqs.values())
+        by_label[labels[seq]].append(seq)
+    smallest = min(map(len, by_label.values()))
 
-    sub = []
-    for seqs in label_to_seqs.values():
-        tmp = round(len(seqs) / least * n) if keep_ratio else n
-        if len(seqs) > tmp:
-            seqs = rng.choice(seqs, tmp, replace=False)
-        sub.extend(seqs)
-    return {s: embs[s] for s in sub}
+    keep = []
+    for seqs in by_label.values():
+        quota = round(len(seqs) / smallest * n) if keep_ratio else n
+        keep.extend(seqs if len(seqs) <= quota
+                    else rng.choice(seqs, quota, replace=False))
+    return {s: embs[s] for s in keep}
 
 
 def _train_fused_sweep(subsets, train_embs, train_labels, val_embs,

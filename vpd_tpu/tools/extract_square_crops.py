@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
 """Extract square athlete crops (+ t-k crops and masks) from videos.
 
-CLI parity with reference `extract_square_crops.py`: per frame, a square
-padded crop around the (optionally union-smoothed) tracked box, the same
-crop of frame t-k via a ring buffer, and the best (score > 0.8) instance
-mask decoded from base64 PNG into a frame-size canvas.
+CLI and output parity with reference `extract_square_crops.py`
+(re-derived implementation; byte-identical PNG trees are pinned by
+tests/test_reference_oracle_tools.py::test_extract_crops_oracle): per
+frame, a square padded crop around the (optionally union-smoothed)
+tracked box, the same crop of frame t-k via a bounded history, and the
+best (score > 0.8) instance mask decoded from base64 PNG into a
+frame-size canvas.
 """
 
 import argparse
@@ -38,78 +41,98 @@ def get_args():
 
 
 class DelayBuffer:
+    """Bounded frame history: get(i) is the item pushed i steps ago.
 
-    def __init__(self, n):
-        self.buffer = [None] * n
-        self.idx = 0
+    Slots never written are None; lookbacks past the capacity wrap
+    modulo capacity (matching the reference ring buffer at
+    `extract_square_crops.py:42-53`, whose callers rely on both).
+    """
 
-    def push(self, x):
-        self.buffer[self.idx] = x
-        self.idx = (self.idx + 1) % len(self.buffer)
+    def __init__(self, capacity):
+        self._slots = [None] * capacity
+        self._count = 0
 
-    def get(self, i):
-        return self.buffer[(self.idx - 1 - i) % len(self.buffer)]
+    def push(self, item):
+        self._slots[self._count % len(self._slots)] = item
+        self._count += 1
+
+    def get(self, steps_back):
+        return self._slots[(self._count - 1 - steps_back)
+                           % len(self._slots)]
+
+
+def _smooth_union(box, prev_box):
+    """Corner-union of this frame's (x, y, w, h) box with the last one."""
+    x, y, w, h = box
+    corners = [(x, y, x + w, y + h)]
+    if prev_box is not None:
+        px, py, pw, ph = prev_box
+        corners.append((px, py, px + pw, py + ph))
+    xs1, ys1, xs2, ys2 = zip(*corners)
+    return min(xs1), min(ys1), max(xs2), max(ys2)
+
+
+def _best_mask_canvas(mask_rows, frame_hw):
+    """Paint the highest-scoring above-threshold mask into a frame-size
+    single-channel canvas, or None if no mask qualifies."""
+    candidates = [row for row in mask_rows if row[0] > MASK_THRESHOLD]
+    if not candidates:
+        return None
+    candidates.sort()  # last entry wins, full-tuple order as reference
+    _, (mx, my, mw, mh), raw = candidates[-1]
+    mx, my, mw, mh = int(mx), int(my), int(mw), int(mh)
+    canvas = np.zeros((*frame_hw, 1), np.uint8)
+    window = canvas[my:my + mh, mx:mx + mw, :]
+    window[decode_png(raw)] = 255
+    return canvas
 
 
 def extract_crops(video_path, box_dict, mask_dict, out_dir, dim, target_fps,
                   num_prev_frames, smooth_boxes, visualize=False):
     import cv2
     cv2.setNumThreads(0)
-    png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
+    png_opts = [cv2.IMWRITE_PNG_COMPRESSION, 9]
 
     vc = cv2.VideoCapture(video_path)
-    n = int(vc.get(cv2.CAP_PROP_FRAME_COUNT))
+    num_frames = int(vc.get(cv2.CAP_PROP_FRAME_COUNT))
     fps = vc.get(cv2.CAP_PROP_FPS)
 
+    prev_gap = 1 if target_fps is None else round(fps / target_fps)
+    history = DelayBuffer(num_prev_frames * (prev_gap + 1))
     prev_box = None
-    prev_sample_gap = 1 if target_fps is None else round(fps / target_fps)
-    buffer = DelayBuffer(num_prev_frames * (prev_sample_gap + 1))
-    for frame_num in range(n):
-        ret, frame = vc.read()
-        assert ret
-        buffer.push(frame)
+    for frame_num in range(num_frames):
+        ok, frame = vc.read()
+        assert ok
+        history.push(frame)
 
         box = box_dict.get(frame_num)
         if box is not None:
-            x, y, w, h = box
-            x2, y2 = x + w, y + h
-            if smooth_boxes and prev_box is not None:
-                x, y = min(x, prev_box[0]), min(y, prev_box[1])
-                x2 = max(x2, prev_box[0] + prev_box[2])
-                y2 = max(y2, prev_box[1] + prev_box[3])
+            corners = (_smooth_union(box, prev_box) if smooth_boxes
+                       else _smooth_union(box, None))
+            crop_box = tuple(int(c) for c in corners)
 
-            crop_box = [int(x), int(y), int(x2), int(y2)]
-            crop = crop_frame(*crop_box, frame, make_square=True,
-                              pad_px=PAD_PX, pad_frac=PAD_FRAC)
+            def snap(img):
+                return crop_frame(*crop_box, img, make_square=True,
+                                  pad_px=PAD_PX, pad_frac=PAD_FRAC)
 
-            mask_crop = None
-            mask_data = [m for m in mask_dict.get(frame_num, [])
-                         if m[0] > MASK_THRESHOLD]
-            if mask_data:
-                mask_data.sort()
-                _, mask_box, raw_mask = mask_data[-1]
-                mx, my, mw, mh = map(int, mask_box)
-                mask_frame = np.zeros((*frame.shape[:2], 1), np.uint8)
-                mask_frame[my:my + mh, mx:mx + mw, :][
-                    decode_png(raw_mask)] = 255
-                mask_crop = crop_frame(*crop_box, mask_frame,
-                                       make_square=True, pad_px=PAD_PX,
-                                       pad_frac=PAD_FRAC)
+            crop = snap(frame)
+            outputs = {'{}.png'.format(frame_num): crop}
 
-            prev_crops = []
+            mask_canvas = _best_mask_canvas(
+                mask_dict.get(frame_num, []), frame.shape[:2])
+            if mask_canvas is not None:
+                outputs['{}.mask.png'.format(frame_num)] = snap(mask_canvas)
+
+            prev_names = []
             for i in range(1, num_prev_frames + 1):
-                prev_frame = buffer.get(prev_sample_gap * i)
-                prev_crops.append(
-                    crop_frame(*crop_box, prev_frame, make_square=True,
-                               pad_px=PAD_PX, pad_frac=PAD_FRAC)
-                    if prev_frame is not None else crop)
+                name = '{}.prev{}.png'.format(frame_num, i if i > 1 else '')
+                past = history.get(prev_gap * i)
+                outputs[name] = snap(past) if past is not None else crop
+                prev_names.append(name)
 
             if max(crop.shape[:2]) != dim:
-                crop = cv2.resize(crop, (dim, dim))
-                prev_crops = [cv2.resize(pc, (dim, dim))
-                              for pc in prev_crops]
-                if mask_crop is not None:
-                    mask_crop = cv2.resize(mask_crop, (dim, dim))
+                outputs = {name: cv2.resize(img, (dim, dim))
+                           for name, img in outputs.items()}
 
             if visualize and (out_dir is not None
                               or os.environ.get('DISPLAY')):
@@ -118,24 +141,16 @@ def extract_crops(video_path, box_dict, mask_dict, out_dir, dim, target_fps,
                 # strip under <out_dir>/.viz instead (see utils.display
                 # for why the gate is on DISPLAY, not try/except)
                 from ..utils.display import imshow_or_save
+                strip = [outputs['{}.png'.format(frame_num)]]
+                strip += [outputs[n] for n in prev_names]
                 imshow_or_save(
-                    'person', np.hstack((crop, *prev_crops)),
+                    'person', np.hstack(strip),
                     os.path.join(out_dir or '.', '.viz',
                                  '{}.png'.format(frame_num)))
 
             if out_dir is not None:
-                cv2.imwrite(os.path.join(
-                    out_dir, '{}.png'.format(frame_num)), crop,
-                    png_compression)
-                for i, prev_crop in enumerate(prev_crops, 1):
-                    cv2.imwrite(os.path.join(
-                        out_dir, '{}.prev{}.png'.format(
-                            frame_num, i if i > 1 else '')),
-                        prev_crop, png_compression)
-                if mask_crop is not None:
-                    cv2.imwrite(os.path.join(
-                        out_dir, '{}.mask.png'.format(frame_num)),
-                        mask_crop, png_compression)
+                for name, img in outputs.items():
+                    cv2.imwrite(os.path.join(out_dir, name), img, png_opts)
 
         prev_box = box
     vc.release()
@@ -149,10 +164,9 @@ def extract_crops_for_video(video_name, boxes, video_dir, pose_dir, out_dir,
     if out_dir is not None:
         video_out_dir = os.path.join(out_dir, video_name)
         os.makedirs(video_out_dir, exist_ok=True)
-    box_dict = {a: b for a, b in boxes}
     mask_dict = dict(load_gz_json(
         os.path.join(pose_dir, video_name, 'mask.json.gz')))
-    extract_crops(video_path, box_dict, mask_dict, video_out_dir, dim,
+    extract_crops(video_path, dict(boxes), mask_dict, video_out_dir, dim,
                   target_fps, num_prev_frames, smooth, visualize=visualize)
     return video_name
 
@@ -165,10 +179,9 @@ def main(pose_dir, video_dir, out_dir, dim, target_fps, num_prev_frames,
          no_smooth, parallelism, visualize=False):
     video_names = [x for x in os.listdir(pose_dir)
                    if os.path.isdir(os.path.join(pose_dir, x))]
-    box_dict = {v: load_json(os.path.join(pose_dir, v, 'boxes.json'))
-                for v in video_names}
     worker_args = [
-        (v, box_dict[v], video_dir, pose_dir, out_dir, dim, target_fps,
+        (v, load_json(os.path.join(pose_dir, v, 'boxes.json')),
+         video_dir, pose_dir, out_dir, dim, target_fps,
          num_prev_frames, not no_smooth, visualize) for v in video_names]
 
     if visualize:  # one window/viz stream (reference :170-173)

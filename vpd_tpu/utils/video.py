@@ -1,8 +1,10 @@
 """Video I/O utilities (host-side, offline preprocessing path).
 
-Parity with reference `util/video.py:9-155`: cv2 metadata/decoding, ffmpeg
-segment cutting, square crop-with-pad. These are deliberately host-only —
-they sit upstream of the device pipeline (crop extraction, recutting).
+Behavioral parity with reference `util/video.py:9-155`: cv2
+metadata/decoding, ffmpeg segment cutting, square crop-with-pad. These
+are deliberately host-only — they sit upstream of the device pipeline
+(crop extraction, recutting). `crop_frame` is re-derived as a single
+allocate-and-blit (differential-tested in test_reference_oracle.py).
 """
 
 import os
@@ -63,13 +65,20 @@ def pick_frame(video_path):
         vc.release()
 
 
+def _coarse_seek_ts(start_frame, fps):
+    """'<s>.<centis>' seek string, replicating the reference's rendering
+    (`util/video.py:36-38`): the centisecond field is NOT zero-padded, so
+    e.g. 1.05s renders as '1.5' and seeks to 1.5s. Kept for byte-level
+    command parity (QUIRKS.md)."""
+    seconds = start_frame / fps
+    return '{}.{}'.format(int(seconds), int(seconds * 100) % 100)
+
+
 def cut_segment(video_file, video_meta, out_file, start, end, log=print):
     log('Extracting: {}'.format(out_file))
-    s = start / video_meta.fps
-    ms = int(s * 100) % 100
-    s = int(s)
     check_call([
-        'ffmpeg', '-ss', '{}.{}'.format(s, ms), '-i', video_file,
+        'ffmpeg', '-ss', _coarse_seek_ts(start, video_meta.fps),
+        '-i', video_file,
         '-c:v', 'libx264', '-c:a', 'aac', '-frames:v', str(end - start),
         '-y', out_file])
 
@@ -96,60 +105,65 @@ def cut_segment_cv2(video_file, video_meta, out_file, start, end,
 
 def cut_frames(video_file, video_meta, out_dir, start, end,
                width=640, height=360, log=print):
+    """Dump a segment as aspect-preserving letterboxed JPEG frames."""
     log('Extracting: {}'.format(out_dir))
     os.makedirs(out_dir)
-    s = start / video_meta.fps
-    ms = int(s * 100) % 100
-    s = int(s)
+    letterbox = ('scale=w={w}:h={h}:force_original_aspect_ratio=1,'
+                 'pad={w}:{h}:(ow-iw)/2:(oh-ih)/2').format(w=width, h=height)
     check_call([
-        'ffmpeg', '-ss', '{}.{}'.format(int(s), ms), '-i', video_file,
-        '-frames:v', str(end - start), '-qscale:v', '2',
-        '-vf', ('scale=w={w}:h={h}:force_original_aspect_ratio=1,'
-                'pad={w}:{h}:(ow-iw)/2:(oh-ih)/2').format(w=width, h=height),
+        'ffmpeg', '-ss', _coarse_seek_ts(start, video_meta.fps),
+        '-i', video_file,
+        '-frames:v', str(end - start), '-qscale:v', '2', '-vf', letterbox,
         '-y', os.path.join(out_dir, '%05d.jpg')])
     return len(os.listdir(out_dir))
 
 
+def _square_span(lo, hi, side):
+    """Re-center [lo, hi) to length `side` (midpoint-preserving; when
+    `side` is odd the extra pixel goes before lo, matching the
+    reference's decrement at `util/video.py:117-129`)."""
+    mid = (lo + hi) // 2
+    return mid - side // 2 - side % 2, mid + side // 2
+
+
 def crop_frame(x1, y1, x2, y2, frame, make_square=False,
                pad_px=None, pad_frac=None):
-    """Crop with optional squaring + padding; out-of-bounds zero-filled."""
+    """Crop with optional squaring + padding; out-of-bounds zero-filled.
+
+    Instead of slice-then-np.pad, the final box is computed up front and
+    the in-bounds region blitted into a zeroed canvas — one allocation,
+    no intermediate copies.
+    """
     if make_square:
-        h, w = y2 - y1, x2 - x1
-        if h > w:
-            mx = (x1 + x2) // 2
-            x1, x2 = mx - h // 2, mx + h // 2
-            if x2 - x1 < h:
-                x1 -= 1
-            assert x2 - x1 == h
-        elif h < w:
-            my = (y1 + y2) // 2
-            y1, y2 = my - w // 2, my + w // 2
-            if y2 - y1 < w:
-                y1 -= 1
-            assert y2 - y1 == w
+        side = max(y2 - y1, x2 - x1)
+        if side > x2 - x1:
+            x1, x2 = _square_span(x1, x2, side)
+        elif side > y2 - y1:
+            y1, y2 = _square_span(y1, y2, side)
     h, w = y2 - y1, x2 - x1
 
-    pad_x = pad_y = pad_px if pad_px is not None else 0
     if pad_frac is not None:
-        pad_x = int(w * pad_frac)
-        pad_y = int(h * pad_frac)
-    if pad_x > 0:
-        x1 -= pad_x
-        x2 += pad_x
-    if pad_y > 0:
-        y1 -= pad_y
-        y2 += pad_y
+        pad_x, pad_y = int(w * pad_frac), int(h * pad_frac)
+    else:
+        pad_x = pad_y = pad_px if pad_px is not None else 0
+    x1, x2 = x1 - max(pad_x, 0), x2 + max(pad_x, 0)
+    y1, y2 = y1 - max(pad_y, 0), y2 + max(pad_y, 0)
 
-    crop = frame[max(y1, 0):y2, max(x1, 0):x2, :]
-    fh, fw, _ = frame.shape
-    crop = np.pad(
-        crop,
-        ((-min(y1, 0), max(0, y2 - fh)),
-         (-min(x1, 0), max(0, x2 - fw)), (0, 0)),
-        mode='constant', constant_values=0)
+    # The canvas geometry replicates the reference's slice-then-np.pad
+    # arithmetic exactly, including its behavior for boxes lying fully
+    # outside the frame (where the output is NOT (y2-y1, x2-x1) because
+    # the near-side overshoot isn't padded back — see the oracle test's
+    # out-of-bounds fuzzing).
+    fh, fw = frame.shape[:2]
+    sub = frame[max(y1, 0):y2, max(x1, 0):x2]
+    top, left = -min(y1, 0), -min(x1, 0)
+    out = np.zeros((top + sub.shape[0] + max(0, y2 - fh),
+                    left + sub.shape[1] + max(0, x2 - fw))
+                   + frame.shape[2:], dtype=frame.dtype)
+    out[top:top + sub.shape[0], left:left + sub.shape[1]] = sub
     if make_square:
-        assert crop.shape[0] == crop.shape[1], crop.shape
-    return crop
+        assert out.shape[0] == out.shape[1], out.shape
+    return out
 
 
 def frames_to_video(out_file, frame_files, fps):
