@@ -117,6 +117,57 @@ def test_fused_no_validation_returns_final_params():
         _assert_tree_close(fp, trainer.params)
 
 
+def test_fused_sharded_matches_sequential_members():
+    # Sharding the member axis over the 8-device CPU mesh must be a pure
+    # placement change: every member's final state equals the sequential
+    # trainer's. 3 members over 8 devices exercises the pad-to-axis path
+    # (5 padded copies of member 0 train but are never read back).
+    from vpd_tpu.core.mesh import get_mesh
+
+    X, y = _pool()
+    Xv, yv = _pool(n_per_class=2, seed=1)
+    member_rows = [
+        list(range(len(X))),
+        [0, 1, 6, 7, 12, 13],
+        [0, 1, 2, 6, 7, 8, 12, 13, 14],
+    ]
+    mesh = get_mesh()
+    assert mesh.size == 8
+    fused, seq = _run_pair(member_rows, X, y, Xv, yv,
+                           fused_kwargs={'epochs_per_dispatch': 3,
+                                         'mesh': mesh},
+                           **COMMON)
+    assert fused.num_members == len(member_rows)
+    for mi, trainer in enumerate(seq):
+        fp, fs = fused.member(mi)
+        _assert_tree_close(fp, trainer.params)
+        _assert_tree_close(fs, trainer.batch_stats)
+
+
+def test_fused_sharded_matches_unsharded_early_term():
+    # Early termination (stop flags polled one chunk behind) must behave
+    # identically when the member axis is sharded.
+    from vpd_tpu.core.mesh import get_mesh
+
+    X, y = _pool(seed=2)
+    Xv, yv = _pool(n_per_class=2, seed=3)
+    member_rows = [list(range(len(X))), [0, 2, 6, 8, 12, 14]]
+    kwargs = dict(COMMON, num_epochs=12, min_epochs=1, early_term_acc=0.5)
+    plain, _ = _run_pair(member_rows, X, y, Xv, yv, **kwargs)
+    sharded, _ = _run_pair(member_rows, X, y, Xv, yv,
+                           fused_kwargs={'mesh': get_mesh()}, **kwargs)
+    np.testing.assert_array_equal(plain.stopped, sharded.stopped)
+    np.testing.assert_array_equal(plain.best_epoch, sharded.best_epoch)
+    # members land on different devices when sharded, so XLA fuses the
+    # per-member math differently — exact equality is not expected, the
+    # suite's standard trajectory tolerance is
+    for mi in range(len(member_rows)):
+        pp, ps = plain.member(mi)
+        sp, ss = sharded.member(mi)
+        _assert_tree_close(pp, sp)
+        _assert_tree_close(ps, ss)
+
+
 def test_fused_rejects_member_missing_a_class():
     X, y = _pool(n_per_class=2)
     with pytest.raises(ValueError):

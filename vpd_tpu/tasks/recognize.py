@@ -234,7 +234,8 @@ def sample_embeddings(embs, labels, n, keep_ratio=False, seed=None):
 
 
 def _train_fused_sweep(subsets, train_embs, train_labels, val_embs,
-                       val_labels, algorithm, trainer_kwargs, log):
+                       val_labels, algorithm, trainer_kwargs, log,
+                       mesh=None):
     """Train every trial of one few-shot size as ONE vmapped device
     program (`train/fused_sweep.py`). Returns per-trial
     (params, batch_stats) presets, or None when the subsets are not
@@ -266,7 +267,7 @@ def _train_fused_sweep(subsets, train_embs, train_labels, val_embs,
     try:
         fused = FusedSweepTrainer(
             algorithm, X_pool, y_pool, member_rows, X_val=X_val,
-            y_val=y_val, log=log, **trainer_kwargs)
+            y_val=y_val, mesh=mesh, log=log, **trainer_kwargs)
     except ValueError as exc:
         log('fused sweep fallback to sequential trials: {}'.format(exc))
         return None
@@ -278,15 +279,18 @@ def run_action_recognition(
         test_embs, test_labels, out_dir, algorithm, k, num_train_examples,
         few_shot_template, hidden_dim, attn, num_epochs, val_freq,
         n_trials, no_test_flip, load_action_ids_fn=None, load_weights=None,
-        device_knn=False, device_max_len=128, fused_sweep=False, log=print):
+        device_knn=False, device_max_len=128, fused_sweep=False, mesh=None,
+        log=print):
     """Few-shot evaluation protocol (`recognize.py:453-577`).
 
     `device_knn=True` precomputes the full test x train DTW matrix on
     device once (sequences truncated to device_max_len) and reuses it
     across every few-shot size and trial. `fused_sweep=True` trains all
     trials of a few-shot size as one vmapped device program (equality
-    with the sequential path tested in tests/test_fused_sweep.py).
-    Returns {ne: [trial accs]}.
+    with the sequential path tested in tests/test_fused_sweep.py);
+    `mesh` additionally shards the stacked trial axis across the data
+    mesh — trials are independent, so M trials x N chips is pure
+    throughput. Returns {ne: [trial accs]}.
     """
     from ..datasets.load import load_action_ids
     if load_action_ids_fn is None:
@@ -417,7 +421,7 @@ def run_action_recognition(
                     and load_weights is None and n_trials > 1):
                 presets = _train_fused_sweep(
                     subsets, train_embs, train_labels, val_embs,
-                    val_labels, algorithm, seq_kwargs(), log)
+                    val_labels, algorithm, seq_kwargs(), log, mesh=mesh)
             trial_accs = []
             for i in range(n_trials):
                 trial_accs.append(run_trial(

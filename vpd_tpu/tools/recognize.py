@@ -140,13 +140,21 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
         if val_embs is None:
             val_embs, val_labels = test_embs, test_labels
         train_embs = {a: b for a, b in train_embs.items() if b is not None}
+        mesh = None
+        if fused_sweep:
+            import jax
+
+            from ..core.mesh import get_mesh
+
+            if len(jax.devices()) > 1:
+                mesh = get_mesh()
         run_action_recognition(
             categories, train_embs, train_labels, val_embs, val_labels,
             test_embs, test_labels, out_dir, algorithm, k,
             num_train_examples, few_shot_file, hidden_dim, attn,
             num_epochs, val_freq, n_trials, no_test_flip,
             device_knn=device_knn, load_weights=load_weights,
-            fused_sweep=fused_sweep)
+            fused_sweep=fused_sweep, mesh=mesh)
 
 
 if __name__ == '__main__':

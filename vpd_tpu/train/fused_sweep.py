@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..core.mesh import DATA_AXIS, step_sync_needed
 from ..core.schedule import CyclicCosineRestarts
 from .classifier import (_shared_tx, bucket_len, make_model,
                          pad_sequences)
@@ -62,6 +64,12 @@ class FusedSweepTrainer:
     - member_rows: list (length M) of index lists into the pool — the
       rows each member trains on, in the member's local order.
     - X_val / y_val: validation sequences shared by every member.
+    - mesh: optional `jax.sharding.Mesh` with a '{data}' axis. Members
+      are independent, so the stacked member dimension shards across it
+      with NO collectives in the train program (the only cross-device
+      traffic is the stop-flag readback between chunks). Member count is
+      padded to a multiple of the axis size with copies of member 0;
+      padded members train but are never read back.
 
     After construction, `member(m)` returns (params, batch_stats) numpy
     trees for member m (the validation-best snapshot when a validation
@@ -74,7 +82,29 @@ class FusedSweepTrainer:
                  early_term_acc=1, X_val=None, y_val=None, val_freq=1,
                  early_term_val_num_epochs=200, learning_rate=0.001,
                  seed=0, bucket_floor=None, epochs_per_dispatch=None,
-                 log=None, **kwargs):
+                 mesh=None, log=None, **kwargs):
+        real_m = len(member_rows)
+        mesh = mesh if (mesh is not None and mesh.size > 1
+                        and DATA_AXIS in mesh.shape) else None
+        if mesh is not None:
+            n_shards = mesh.shape[DATA_AXIS]
+            member_rows = list(member_rows) + \
+                [member_rows[0]] * ((-real_m) % n_shards)
+        if mesh is not None:
+            shard_m = NamedSharding(mesh, P(DATA_AXIS))
+            repl = NamedSharding(mesh, P())
+            # schedules carry the member axis at dim 2
+            shard_sched = NamedSharding(mesh, P(None, None, DATA_AXIS))
+            put_m = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, shard_m), t)
+            put_r = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, repl), t)
+            put_sched = lambda x: jax.device_put(x, shard_sched)  # noqa: E731
+        else:
+            put_m = put_r = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                jax.device_put, t)
+            put_sched = lambda x: x  # noqa: E731 - jit uploads it
+
         y_pool = np.asarray(y_pool, dtype=np.int32)
         num_classes = int(np.unique(y_pool).shape[0])
         for rows in member_rows:
@@ -102,10 +132,10 @@ class FusedSweepTrainer:
         variables = model.init(
             {'params': jax.random.key(seed)},
             jnp.zeros((1, max_len, Xp.shape[-1])), jnp.ones((1,), jnp.int32))
-        params = _stack_trees(variables['params'], m)
-        batch_stats = _stack_trees(variables.get('batch_stats', {}), m)
+        params = put_m(_stack_trees(variables['params'], m))
+        batch_stats = put_m(_stack_trees(variables.get('batch_stats', {}), m))
         tx = _shared_tx()
-        opt_state = jax.vmap(tx.init)(params)
+        opt_state = put_m(jax.vmap(tx.init)(params))
 
         has_val = X_val is not None
         if has_val:
@@ -158,26 +188,32 @@ class FusedSweepTrainer:
             model, tx, batch_size, s_max, chunk_len, n_val_chunks,
             bool(has_val))
 
-        pool_x = jax.device_put(Xp)
-        pool_len = jax.device_put(lens)
-        pool_y = jax.device_put(y_pool)
-        val_x = jax.device_put(Xv.reshape(
+        pool_x = put_r(Xp)
+        pool_len = put_r(lens)
+        pool_y = put_r(y_pool)
+        val_x = put_r(Xv.reshape(
             (n_val_chunks, batch_size) + Xv.shape[1:]))
-        val_len = jax.device_put(lens_v.reshape(n_val_chunks, batch_size))
-        val_y = jax.device_put(yv.reshape(n_val_chunks, batch_size))
-        val_valid = jax.device_put(
-            val_row_valid.reshape(n_val_chunks, batch_size))
-        chunk_count = jax.device_put(chunk_count)
+        val_len = put_r(lens_v.reshape(n_val_chunks, batch_size))
+        val_y = put_r(yv.reshape(n_val_chunks, batch_size))
+        val_valid = put_r(val_row_valid.reshape(n_val_chunks, batch_size))
+        chunk_count = put_r(chunk_count)
+        dropout_key = put_r(dropout_key)
 
         state = dict(
             params=params, batch_stats=batch_stats, opt_state=opt_state,
             best_params=params, best_stats=batch_stats,
-            best_err=jnp.ones((m,), jnp.float32),
-            best_loss=jnp.full((m,), jnp.inf, jnp.float32),
-            best_epoch=jnp.zeros((m,), jnp.int32),
-            stopped=jnp.zeros((m,), bool))
+            best_err=put_m(jnp.ones((m,), jnp.float32)),
+            best_loss=put_m(jnp.full((m,), jnp.inf, jnp.float32)),
+            best_epoch=put_m(jnp.zeros((m,), jnp.int32)),
+            stopped=put_m(jnp.zeros((m,), bool)))
 
-        n_m = jnp.asarray(lens_m, jnp.float32)
+        n_m = put_m(jnp.asarray(lens_m, jnp.float32))
+        scalars = put_r(dict(
+            min_epochs=np.int32(min_epochs),
+            early_term_acc=np.float32(early_term_acc),
+            etvne=np.int32(early_term_val_num_epochs),
+            n_val=np.float32(n_val), n_chunks=np.float32(n_val_chunks)))
+        sync = step_sync_needed(mesh)
         prev_stopped = None
         for chunk_start in range(0, num_epochs, chunk_len):
             epochs = list(range(chunk_start,
@@ -214,12 +250,18 @@ class FusedSweepTrainer:
                         sched.batch_step()
 
             state = run_chunk(
-                state, pool_x, pool_len, pool_y, idx, bvalid, step_valid,
-                lr, wd, step_i, epoch_ids, do_val, val_x, val_len, val_y,
+                state, pool_x, pool_len, pool_y, put_sched(idx),
+                put_sched(bvalid), put_sched(step_valid), put_sched(lr),
+                put_sched(wd), put_sched(step_i), put_r(epoch_ids),
+                put_r(do_val), val_x, val_len, val_y,
                 val_valid, chunk_count, dropout_key, n_m,
-                np.int32(min_epochs), np.float32(early_term_acc),
-                np.int32(early_term_val_num_epochs),
-                np.float32(n_val), np.float32(n_val_chunks))
+                scalars['min_epochs'], scalars['early_term_acc'],
+                scalars['etvne'], scalars['n_val'], scalars['n_chunks'])
+            if sync:
+                # multi-device CPU (tests/dryruns): a sharded device_put
+                # for the next chunk racing this in-flight program
+                # deadlocks the in-process communicator — block here
+                jax.block_until_ready(state)
             if log is not None:
                 log('fused chunk epochs {}-{} dispatched'.format(
                     epochs[0], epochs[-1]))
@@ -237,9 +279,9 @@ class FusedSweepTrainer:
         final_params = jax.tree_util.tree_map(np.asarray, state[which])
         final_stats = jax.tree_util.tree_map(np.asarray, state[stats_key])
         self._params, self._stats = final_params, final_stats
-        self.best_epoch = np.asarray(state['best_epoch'])
-        self.stopped = np.asarray(state['stopped'])
-        self.num_members = m
+        self.best_epoch = np.asarray(state['best_epoch'])[:real_m]
+        self.stopped = np.asarray(state['stopped'])[:real_m]
+        self.num_members = real_m
 
     def member(self, mi):
         """(params, batch_stats) numpy trees for member `mi`."""
