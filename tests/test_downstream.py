@@ -141,6 +141,83 @@ def test_run_localization_all_videos(tmp_path):
     assert set(preds) == set(emb_dict)
 
 
+def _assert_tree_close(a, b, rtol=2e-4, atol=2e-5):
+    import jax
+
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for (path, xa), xb in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=rtol, atol=atol,
+            err_msg=str(path))
+
+
+def _ensemble_data(n=6, frames=120, dim=6, seed=11):
+    rng = np.random.default_rng(seed)
+    X, y = [], []
+    for _ in range(n):
+        x = rng.normal(0, 0.3, size=(frames, dim)).astype(np.float32)
+        vy = np.zeros(frames, np.int32)
+        for start in range(20, frames - 20, 50):
+            x[start:start + 10] += 2.0
+            vy[start:start + 10] = 1
+        X.append(x)
+        y.append(vy)
+    return X, y
+
+
+_ENSEMBLE_KW = dict(hidden_dim=8, batch_size=8, num_epochs=3,
+                    min_epochs=1, seq_len=32, samples_per_epoch=32)
+
+
+def test_fused_ensemble_matches_sequential():
+    """EnsembleProposal(fused=True) == sequential fold training: one
+    vmapped per-step program must reproduce every member's params,
+    batch_stats, and therefore ensemble predictions."""
+    from vpd_tpu.train.proposal import EnsembleProposal
+
+    X, y = _ensemble_data()
+    kw = dict(_ENSEMBLE_KW, ensemble_size=2, splits=3, seed=5)
+    seq = EnsembleProposal('gru', X, y, **kw)
+    fused = EnsembleProposal('gru', X, y, fused=True, **kw)
+    _assert_tree_close(fused._stacked_params, seq._stacked_params)
+    _assert_tree_close(fused._stacked_stats, seq._stacked_stats)
+    probe = X[0]
+    np.testing.assert_allclose(fused.predict(probe), seq.predict(probe),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_ensemble_early_termination_matches():
+    # A 1-epoch val-stall window stops members at different epochs; the
+    # fused live-mask must freeze each member exactly where the
+    # sequential trainer breaks.
+    from vpd_tpu.train.proposal import EnsembleProposal
+
+    X, y = _ensemble_data(seed=13)
+    kw = dict(_ENSEMBLE_KW, num_epochs=6,
+              early_term_no_val_improvement=1, ensemble_size=2,
+              splits=2, seed=3)
+    seq = EnsembleProposal('gru', X, y, **kw)
+    fused = EnsembleProposal('gru', X, y, fused=True, **kw)
+    _assert_tree_close(fused._stacked_params, seq._stacked_params)
+
+
+def test_fused_ensemble_sharded_matches_unsharded():
+    # Member axis over the 8-device mesh (2 members pad to 8): a pure
+    # placement change.
+    from vpd_tpu.core.mesh import get_mesh
+    from vpd_tpu.train.proposal import EnsembleProposal
+
+    X, y = _ensemble_data(seed=17)
+    kw = dict(_ENSEMBLE_KW, ensemble_size=2, splits=3, seed=7)
+    plain = EnsembleProposal('gru', X, y, fused=True, **kw)
+    sharded = EnsembleProposal('gru', X, y, fused=True, mesh=get_mesh(),
+                               **kw)
+    _assert_tree_close(plain._stacked_params, sharded._stacked_params)
+    _assert_tree_close(plain._stacked_stats, sharded._stacked_stats)
+
+
 def _recognition_data(num_classes=3, per_class=8, t=20, dim=6, seed=0):
     rng = np.random.default_rng(seed)
     embs, labels = {}, {}

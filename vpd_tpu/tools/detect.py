@@ -35,6 +35,11 @@ def get_args():
     parser.add_argument('--norm', action='store_true')
     parser.add_argument('--hidden_dim', type=int, default=128)
     parser.add_argument('--batch_size', type=int)
+    parser.add_argument('--fused_ensemble', action='store_true',
+                        help='Train all KFold ensemble members as one '
+                             'vmapped device program (sharded over the '
+                             'data mesh when >1 device; same results as '
+                             'sequential fold training)')
     return parser.parse_args()
 
 
@@ -143,7 +148,8 @@ def load_fx_labels(config, test_frac=0.25, seed=0,
 
 
 def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
-         tennis_window, norm, hidden_dim, batch_size, _all=False):
+         tennis_window, norm, hidden_dim, batch_size, _all=False,
+         fused_ensemble=False):
     config = DATA_CONFIGS[dataset]
     emb_dict = load_embs(emb_dir, norm)
 
@@ -168,11 +174,20 @@ def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
             'train.localize.{}.txt'.format(trial))
         return load_text(path)
 
+    model_kwargs = {}
+    if fused_ensemble:
+        import jax
+
+        from ..core.mesh import get_mesh
+
+        model_kwargs['fused'] = True
+        if len(jax.devices()) > 1:
+            model_kwargs['mesh'] = get_mesh()
     trial_results, thresholds = run_localization(
         dataset, emb_dict, train_labels, test_labels, n_trials=n_trials,
         algorithm=algorithm, k=k, hidden_dim=hidden_dim,
         batch_size=batch_size, few_shot_videos_fn=few_shot_videos,
-        n_examples=n_examples, out_dir=out_dir, _all=_all)
+        n_examples=n_examples, out_dir=out_dir, _all=_all, **model_kwargs)
 
     mean = np.mean(trial_results, axis=0)
     print('AP table (rows=thresholds {}, cols=tIoU {}):'.format(

@@ -98,6 +98,250 @@ def _cached_predict_fn(model):
 
 
 @functools.lru_cache(maxsize=32)
+def _cached_fused_train_step(model):
+    """Per-step program advancing ALL ensemble members at once.
+
+    The reference trains the KFold members serially
+    (`util/proposal.py:212-240`); folds are independent, so the member
+    axis is a free vmap dimension — one dispatch advances every member,
+    and a `live` mask freezes early-terminated members on device (their
+    updates are computed and discarded, so overshoot never changes a
+    result).
+    """
+    tx = _shared_tx()
+
+    @jax.jit
+    def step(params, stats, opt, live, x, y, keys, step_i):
+        def one(p, st, o, xb, yb, key):
+            rng = jax.random.fold_in(key, step_i)
+            lengths = jnp.full((xb.shape[0],), xb.shape[1])
+
+            def loss_fn(pp):
+                logits, mut = model.apply(
+                    {'params': pp, 'batch_stats': st}, xb, lengths,
+                    train=True, mutable=['batch_stats'],
+                    rngs={'dropout': rng})
+                flat = logits.reshape(-1, 2)
+                yf = yb.reshape(-1)
+                loss = jnp.mean(
+                    -jnp.take_along_axis(jax.nn.log_softmax(flat),
+                                         yf[:, None], axis=1))
+                correct = jnp.sum(jnp.argmax(flat, 1) == yf)
+                return loss, (mut['batch_stats'], correct)
+
+            (loss, (new_st, correct)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            updates, new_o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), new_st, new_o,
+                    loss, correct)
+
+        new_p, new_st, new_o, loss, corr = jax.vmap(one)(
+            params, stats, opt, x, y, keys)
+        from .fused_sweep import _tree_where
+
+        return (_tree_where(live, new_p, params),
+                _tree_where(live, new_st, stats),
+                _tree_where(live, new_o, opt), loss, corr)
+
+    return step
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_fused_eval_fn(model):
+    @jax.jit
+    def fn(params, stats, x, y):
+        def one(p, st, xb, yb):
+            lengths = jnp.full((xb.shape[0],), xb.shape[1])
+            logits = model.apply(
+                {'params': p, 'batch_stats': st}, xb, lengths,
+                train=False)
+            flat = logits.reshape(-1, 2)
+            yf = yb.reshape(-1)
+            loss = jnp.mean(
+                -jnp.take_along_axis(jax.nn.log_softmax(flat),
+                                     yf[:, None], axis=1))
+            return loss, jnp.sum(jnp.argmax(flat, 1) == yf)
+
+        return jax.vmap(one)(params, stats, x, y)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_snapshot_fn(model):
+    """Masked device-side best-params snapshot (no per-member fetches)."""
+    del model  # cache key only
+
+    @jax.jit
+    def snap(update, params, stats, best_params, best_stats):
+        from .fused_sweep import _tree_where
+
+        return (_tree_where(update, params, best_params),
+                _tree_where(update, stats, best_stats))
+
+    return snap
+
+
+class FusedEnsembleTrainer:
+    """Train every KFold ensemble member as ONE vmapped device program.
+
+    `members` is a list of (X_train, y_train, X_val, y_val, seed) fold
+    specs. Semantics replicate `ProposalTrainer` member-by-member: each
+    member keeps its own init key (`jax.random.key(seed)`), window
+    sampler RNG streams (seed / seed+1), dropout key (seed+2), and the
+    reference's validation-best + early-termination rules
+    (`util/proposal.py:109-173`) — decided on host from the per-member
+    epoch metrics, with best snapshots kept on device via masked
+    selects. Equality with sequential `ProposalTrainer`s is tested in
+    tests/test_downstream.py.
+
+    With a `mesh`, the member axis shards over the 'data' axis (members
+    are independent — no collectives); member count is padded to a
+    multiple of the axis size with copies of member 0 that train but
+    are never read back.
+    """
+
+    def __init__(self, arch_type, members, hidden_dim, batch_size=100,
+                 num_epochs=NUM_TRAIN_EPOCHS, min_epochs=MIN_TRAIN_EPOCHS,
+                 early_term_acc=1, early_term_no_val_improvement=50,
+                 seq_len=250, samples_per_epoch=5000, mesh=None, **kwargs):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.mesh import DATA_AXIS, step_sync_needed
+        from ..core.metrics import fetch_metrics
+
+        real_m = len(members)
+        mesh = mesh if (mesh is not None and mesh.size > 1
+                        and DATA_AXIS in mesh.shape) else None
+        if mesh is not None:
+            members = list(members) + \
+                [members[0]] * ((-real_m) % mesh.shape[DATA_AXIS])
+            shard_m = NamedSharding(mesh, P(DATA_AXIS))
+            put_m = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda z: jax.device_put(z, shard_m), t)
+        else:
+            put_m = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                jax.device_put, t)
+        m = len(members)
+
+        self.model = ProposalSeq(arch_type, hidden_dim, **kwargs)
+        emb_dim = members[0][0][0].shape[-1]
+        self.seq_len = seq_len
+
+        inits = [self.model.init(
+            {'params': jax.random.key(seed)},
+            jnp.zeros((1, seq_len, emb_dim)), jnp.full((1,), seq_len))
+            for _, _, _, _, seed in members]
+        params = put_m(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[v['params'] for v in inits]))
+        stats = put_m(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[v.get('batch_stats', {}) for v in inits]))
+        tx = _shared_tx()
+        opt = put_m(jax.vmap(tx.init)(params))
+        keys = put_m(jnp.stack(
+            [jax.random.key(seed + 2) for _, _, _, _, seed in members]))
+
+        samplers = [_WindowSampler(X, y, seq_len, samples_per_epoch, seed)
+                    for X, y, _, _, seed in members]
+        val_samplers = [_WindowSampler(Xv, yv, seq_len, samples_per_epoch,
+                                       seed + 1)
+                        for _, _, Xv, yv, seed in members]
+
+        fused_step = _cached_fused_train_step(self.model)
+        fused_eval = _cached_fused_eval_fn(self.model)
+        snap = _cached_snapshot_fn(self.model)
+        sync = step_sync_needed(mesh)
+
+        best_params, best_stats = params, stats
+        best_err_loss = [(1., float('inf'))] * m
+        best_epoch = np.zeros(m, np.int64)
+        live = np.ones(m, bool)
+        steps_per_epoch = samples_per_epoch // batch_size
+        val_steps = max(1, steps_per_epoch // 5)
+        step_i = 0
+        for epoch in range(num_epochs):
+            live_dev = put_m(live)
+            step_outs = []
+            total = 0
+            for _ in range(steps_per_epoch):
+                xb = np.empty((m, batch_size, seq_len, emb_dim),
+                              np.float32)
+                yb = np.empty((m, batch_size, seq_len), np.int32)
+                for mi in range(m):
+                    xb[mi], yb[mi] = samplers[mi].batch(batch_size)
+                step_i += 1
+                params, stats, opt, loss, corr = fused_step(
+                    params, stats, opt, live_dev, put_m(xb), put_m(yb),
+                    keys, np.int32(step_i))
+                if sync:
+                    # multi-device CPU: a sharded device_put racing the
+                    # in-flight program deadlocks (core/mesh.py:102)
+                    jax.block_until_ready(params)
+                step_outs.append((loss, corr))
+                total += batch_size * seq_len
+            step_outs = fetch_metrics(step_outs)
+            acc = np.sum([np.asarray(c, np.int64) for _, c in step_outs],
+                         axis=0) / total
+
+            v_outs = []
+            v_total = 0
+            for _ in range(val_steps):
+                xb = np.empty((m, batch_size, seq_len, emb_dim),
+                              np.float32)
+                yb = np.empty((m, batch_size, seq_len), np.int32)
+                for mi in range(m):
+                    xb[mi], yb[mi] = val_samplers[mi].batch(batch_size)
+                ev = fused_eval(params, stats, put_m(xb), put_m(yb))
+                if sync:
+                    jax.block_until_ready(ev)
+                v_outs.append(ev)
+                v_total += batch_size * seq_len
+            v_outs = fetch_metrics(v_outs)
+            v_loss = np.sum([np.asarray(l, np.float64)
+                             for l, _ in v_outs], axis=0)
+            val_acc = np.sum([np.asarray(c, np.int64) for _, c in v_outs],
+                             axis=0) / v_total
+
+            update = np.zeros(m, bool)
+            for mi in range(m):
+                if not live[mi]:
+                    continue
+                if (1 - val_acc[mi], v_loss[mi]) <= best_err_loss[mi]:
+                    best_epoch[mi] = epoch
+                    best_err_loss[mi] = (1 - val_acc[mi], v_loss[mi])
+                    update[mi] = True
+                    if 1 - best_err_loss[mi][0] >= early_term_acc \
+                            and epoch > min_epochs:
+                        live[mi] = False
+                elif (epoch - best_epoch[mi]
+                      >= early_term_no_val_improvement
+                      and epoch > min_epochs):
+                    live[mi] = False
+                if live[mi] and epoch >= min_epochs \
+                        and acc[mi] > early_term_acc:
+                    live[mi] = False
+            if update.any():
+                best_params, best_stats = snap(
+                    put_m(update), params, stats, best_params, best_stats)
+                if sync:
+                    jax.block_until_ready(best_params)
+            if not live.any():
+                break
+
+        take = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda z: np.asarray(z)[:real_m], t)
+        self.stacked_params = take(best_params)
+        self.stacked_stats = take(best_stats)
+        self.num_members = real_m
+
+    def member(self, mi):
+        take = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda z: z[mi], t)
+        return take(self.stacked_params), take(self.stacked_stats)
+
+
+@functools.lru_cache(maxsize=32)
 def _cached_ensemble_predict_fn(model):
     """Whole-ensemble prediction as ONE dispatch: vmap the per-frame
     scorer over stacked member params (the reference loops models x flip
@@ -306,10 +550,18 @@ def get_proposals(scores, activation_thresh, min_prop_len=3,
 
 
 class EnsembleProposal:
-    """KFold(5) ensemble (`util/proposal.py:212-256`)."""
+    """KFold(5) ensemble (`util/proposal.py:212-256`).
+
+    `fused=True` trains all folds as one vmapped per-step device program
+    (`FusedEnsembleTrainer`) instead of sequentially — k times fewer
+    dispatches per localization trial, same member-by-member results
+    (equality tested in tests/test_downstream.py); `mesh` additionally
+    shards the member axis across the data mesh.
+    """
 
     def __init__(self, arch_type, X, y, hidden_dim, ensemble_size=3,
-                 splits=5, custom_split=None, seed=0, **kwargs):
+                 splits=5, custom_split=None, seed=0, fused=False,
+                 mesh=None, **kwargs):
         if custom_split is None:
             custom_split = np.arange(len(X))
         unique_idxs = np.array(sorted(set(custom_split)))
@@ -317,7 +569,7 @@ class EnsembleProposal:
         order = rng.permutation(len(unique_idxs))
 
         folds = np.array_split(order, splits)
-        models = []
+        specs = []
         for f in range(splits):
             val_set = set(unique_idxs[folds[f]].tolist())
             X_train, y_train, X_val, y_val = [], [], [], []
@@ -328,11 +580,24 @@ class EnsembleProposal:
                 else:
                     X_train.append(X[j])
                     y_train.append(y[j])
-            models.append(ProposalTrainer(
-                arch_type, X_train, y_train, hidden_dim,
-                X_val=X_val, y_val=y_val, seed=seed + f, **kwargs))
-            if len(models) >= ensemble_size:
+            specs.append((X_train, y_train, X_val, y_val, seed + f))
+            if len(specs) >= ensemble_size:
                 break
+
+        if fused:
+            trainer = FusedEnsembleTrainer(
+                arch_type, specs, hidden_dim, mesh=mesh, **kwargs)
+            self.models = []
+            self._stacked_params = jax.tree_util.tree_map(
+                jnp.asarray, trainer.stacked_params)
+            self._stacked_stats = jax.tree_util.tree_map(
+                jnp.asarray, trainer.stacked_stats)
+            self._predict_fn = _cached_ensemble_predict_fn(trainer.model)
+            return
+
+        models = [ProposalTrainer(
+            arch_type, Xt, yt, hidden_dim, X_val=Xv, y_val=yv, seed=s,
+            **kwargs) for Xt, yt, Xv, yv, s in specs]
         self.models = models
         # Stack member params once; predict_n runs the whole ensemble in
         # one vmapped dispatch per video.
