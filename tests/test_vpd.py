@@ -444,6 +444,55 @@ def test_batch_color_jitter_order_randomized():
     del outs, forced  # smoke: all paths executed without error
 
 
+def test_batch_color_jitter_per_sample_order():
+    """per_sample_order=True (torchvision-exact, QUIRKS.md): each sample's
+    output equals the forced-order output for ITS OWN sampled permutation,
+    and a batch realizes more than one distinct order."""
+    from vpd_tpu.data.augment import batch_color_jitter
+
+    rng = np.random.default_rng(2)
+    b = 12
+    x = rng.uniform(0.1, 0.9, (b, 8, 8, 3)).astype(np.float32)
+    key = jax.random.key(11)
+
+    out = np.asarray(batch_color_jitter(x, key, per_sample_order=True))
+    assert out.shape == x.shape
+    assert np.all(out >= 0) and np.all(out <= 1.0 + 1e-6)
+
+    # reconstruct the permutation each sample drew (same key splitting
+    # as the implementation: ko is the 5th subkey)
+    ko = jax.random.split(key, 5)[4]
+    perms = np.asarray(jax.vmap(
+        lambda k: jax.random.permutation(k, 4))(jax.random.split(ko, b)))
+    assert len({tuple(p) for p in perms}) > 1  # orders actually vary
+
+    # row i of the per-sample output == row i of the whole-batch forced
+    # composition under perms[i] (same key -> same per-sample factors)
+    for i in range(b):
+        forced = np.asarray(batch_color_jitter(
+            x, key, order=tuple(perms[i])))
+        np.testing.assert_allclose(out[i], forced[i], atol=1e-6)
+
+
+def test_train_augment_batch_per_sample_jitter_order():
+    """jitter_order='per_sample' plumbs through the fused augment chain:
+    output differs from the batch-order default but stays physical."""
+    rgb = np.random.default_rng(3).integers(
+        0, 255, (6, IMG, IMG, 3), dtype=np.uint8)
+    from vpd_tpu.data.augment import RGB_MEAN_STD
+    mean, std = RGB_MEAN_STD['tennis']
+    out_b, _ = train_augment_batch(jax.random.key(4), rgb, mean, std,
+                                   out_size=IMG)
+    out_p, _ = train_augment_batch(jax.random.key(4), rgb, mean, std,
+                                   out_size=IMG,
+                                   jitter_order='per_sample')
+    assert out_p.shape == out_b.shape
+    assert np.isfinite(np.asarray(out_p)).all()
+    assert not np.allclose(np.asarray(out_b), np.asarray(out_p))
+    inv = np.asarray(out_p) * np.asarray(std) + np.asarray(mean)
+    assert inv.min() > -0.05 and inv.max() < 1.05
+
+
 def test_train_augment_batch_jitter_still_bounded():
     rgb = np.random.default_rng(1).integers(
         0, 255, (6, IMG, IMG, 3), dtype=np.uint8)

@@ -124,17 +124,21 @@ _JITTER_ORDERS = tuple(itertools.permutations(range(4)))
 
 
 def batch_color_jitter(rgb, key, brightness=0.2, contrast=0.2,
-                       saturation=0.05, hue=0.05, order=None):
+                       saturation=0.05, hue=0.05, order=None,
+                       per_sample_order=False):
     """Jitter a (B, H, W, 3) batch in [0,1]; per-sample factors.
 
     Reference parity: torchvision ColorJitter shuffles the op order
     (brightness, contrast, saturation, hue) per image
-    (`vpd_dataset/common.py:20-26` via transforms.ColorJitter). A
-    per-SAMPLE order under vmap would evaluate all 24 permutations and
-    select (TPU has no per-lane control flow), so the order is sampled
-    per BATCH and dispatched with one `lax.switch` branch — the op-order
-    marginal distribution matches at zero extra compute (QUIRKS.md).
-    `order`: force a permutation (testing).
+    (`vpd_dataset/common.py:20-26` via transforms.ColorJitter). The
+    default samples the order per BATCH and dispatches one `lax.switch`
+    branch — the op-order marginal distribution matches at zero extra
+    compute (QUIRKS.md). `per_sample_order=True` replicates torchvision
+    exactly: each sample draws its own permutation, realized as a fixed
+    4-step chain that computes the four candidate ops per step and
+    selects per sample with broadcast masks (TPU has no per-lane control
+    flow, so the ops run ~4x; opt-in for parity-exact training).
+    `order`: force one permutation for the whole batch (testing).
     """
     b = rgb.shape[0]
     kb, kc, ks, kh, ko = jax.random.split(key, 5)
@@ -179,6 +183,18 @@ def batch_color_jitter(rgb, key, brightness=0.2, contrast=0.2,
 
     if order is not None:
         return compose(tuple(order))(rgb)
+    if per_sample_order:
+        # (B, 4) independent permutations; step s applies op perms[:, s].
+        perms = jax.vmap(lambda k: jax.random.permutation(k, 4))(
+            jax.random.split(ko, b))
+        x = rgb
+        for step in range(4):
+            sel = perms[:, step][:, None, None, None]
+            cand = [op(x) for op in ops]
+            x = jnp.where(sel == 0, cand[0],
+                          jnp.where(sel == 1, cand[1],
+                                    jnp.where(sel == 2, cand[2], cand[3])))
+        return x
     idx = jax.random.randint(ko, (), 0, len(_JITTER_ORDERS))
     return jax.lax.switch(idx, [compose(p) for p in _JITTER_ORDERS], rgb)
 
@@ -246,7 +262,8 @@ def decode_flow(flow_u8, dtype=jnp.float32):
 
 def train_augment_batch(key, rgb_u8, mean, std, flow_u8=None, mask_u8=None,
                         flip=None, out_size=128, jitter=True,
-                        mask_noise_prob=0.5, dtype=jnp.float32):
+                        mask_noise_prob=0.5, dtype=jnp.float32,
+                        jitter_order='batch'):
     """The full fused train-time augmentation over an NHWC uint8 batch.
 
     rgb_u8: (B, H, W, 3); flow_u8: (B, H, W, >=2) or None; mask_u8:
@@ -265,10 +282,11 @@ def train_augment_batch(key, rgb_u8, mean, std, flow_u8=None, mask_u8=None,
 
     rgb01 = rgb_u8.astype(dtype) / 255.
     if jitter:
-        # batch-level op-order randomization (reference torchvision
-        # ColorJitter shuffles per image; see batch_color_jitter)
-        rgb01 = batch_color_jitter(rgb01, jax.random.fold_in(key, 2),
-                                   **JITTER)
+        # jitter_order='batch': one op order per batch (default, free);
+        # 'per_sample': torchvision-exact per-image order (~4x op cost)
+        rgb01 = batch_color_jitter(
+            rgb01, jax.random.fold_in(key, 2),
+            per_sample_order=(jitter_order == 'per_sample'), **JITTER)
 
     def one(rgb, flow1, mask1, fl, k):
         kj, kn, kc, kp = jax.random.split(k, 4)

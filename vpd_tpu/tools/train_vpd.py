@@ -79,6 +79,12 @@ def get_args():
                              'HBM once and gather batches on device '
                              '(requires --crop_shards); replicated per '
                              'chip on multi-device meshes')
+    parser.add_argument('--jitter_order', type=str, default='batch',
+                        choices=('batch', 'per_sample'),
+                        help='color-jitter op-order sampling: one order '
+                             'per batch (default, free) or torchvision-'
+                             'exact per image (~4x jitter cost; '
+                             'QUIRKS.md)')
     parser.add_argument('--hbm_cache_sharded', action='store_true',
                         help='row-shard the HBM cache over the data '
                              'mesh instead of replicating it (for '
@@ -133,7 +139,7 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
          emb_dir, seed, num_workers=0, init_weights=None,
          crop_shards=None, augment_val=False, hbm_cache=False,
          hbm_cache_sharded=False, penn_dir=None, penn_frame_dir=None,
-         resume=False):
+         resume=False, jitter_order='batch'):
     hbm_cache = hbm_cache or hbm_cache_sharded
     if dataset == 'penn':
         # full-frame on-the-fly crops; no crop dir / shards / flow
@@ -151,7 +157,8 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
                     checkpoint_frequency, num_epochs, batch_size,
                     learning_rate, img_dim, flow_img, motion,
                     encoder_arch, model_select_window, pretrained,
-                    seed, init_weights, augment_val, hbm_cache, resume)
+                    seed, init_weights, augment_val, hbm_cache, resume,
+                    jitter_order)
 
     if emb_dir is None:
         emb_dir = os.path.join(ROOT_DIRS[dataset], 'embs')
@@ -217,14 +224,15 @@ def main(dataset, save_dir, checkpoint_frequency, num_epochs, batch_size,
     _fit(dataset, train_src, val_src, emb_dim, save_dir,
          checkpoint_frequency, num_epochs, batch_size, learning_rate,
          img_dim, flow_img, motion, encoder_arch, model_select_window,
-         pretrained, seed, init_weights, augment_val, hbm_cache, resume)
+         pretrained, seed, init_weights, augment_val, hbm_cache, resume,
+         jitter_order)
 
 
 def _fit(dataset, train_src, val_src, emb_dim, save_dir,
          checkpoint_frequency, num_epochs, batch_size, learning_rate,
          img_dim, flow_img, motion, encoder_arch, model_select_window,
          pretrained, seed, init_weights, augment_val, hbm_cache,
-         resume=False):
+         resume=False, jitter_order='batch'):
     """Shared tail: prefetch placement, config manifest, trainer, fit."""
     # Single-device mesh: pre-shard on the prefetch thread so the H2D
     # upload starts while the previous step is in flight (shard_batch on
@@ -247,7 +255,7 @@ def _fit(dataset, train_src, val_src, emb_dim, save_dir,
         encoder_arch=encoder_arch, pretrained=pretrained,
         model_select_window=model_select_window,
         checkpoint_frequency=checkpoint_frequency,
-        augment_val=augment_val)
+        augment_val=augment_val, jitter_order=jitter_order)
 
     trainer = VPDTrainer(train_src, val_src, config, save_dir=save_dir,
                          mesh=mesh, seed=seed,

@@ -98,7 +98,8 @@ def apply_train_update(model, state, imgs, emb, drop_rng):
 
 
 def _fused_step_body(model, mean, std, img_dim, use_flow, use_mask,
-                     aug_dtype, state, rgb, flow, mask, emb, flip, rng):
+                     aug_dtype, state, rgb, flow, mask, emb, flip, rng,
+                     jitter_order='batch'):
     """Augment -> fwd/bwd -> AdamW on explicit pixel/target operands
     (shared by the host-streamed and HBM-cache-gathered steps)."""
     aug_rng = jax.random.fold_in(rng, state.step)
@@ -106,19 +107,23 @@ def _fused_step_body(model, mean, std, img_dim, use_flow, use_mask,
         aug_rng, rgb, mean, std,
         flow_u8=flow if use_flow else None,
         mask_u8=mask if use_mask else None,
-        flip=flip, out_size=img_dim, dtype=aug_dtype)
+        flip=flip, out_size=img_dim, dtype=aug_dtype,
+        jitter_order=jitter_order)
     return apply_train_update(model, state, imgs, emb,
                               jax.random.fold_in(aug_rng, 1))
 
 
 def make_train_step(model, mean, std, img_dim=128, use_flow=False,
-                    use_mask=True, donate=True, aug_dtype=None):
+                    use_mask=True, donate=True, aug_dtype=None,
+                    jitter_order='batch'):
     """One fused program: augment uint8 batch -> student fwd/bwd -> AdamW.
 
     `aug_dtype=bfloat16` runs the augmentation block in bf16 (see
     `train_augment_batch`); float32 is the full-precision default. (Note
     the round-3 jitter rework randomized the color-op order per batch,
     so same-seed pixel streams differ from rounds 1-2 at any dtype.)
+    `jitter_order='per_sample'` opts into torchvision-exact per-image
+    color-op ordering (QUIRKS.md).
     """
     aug_dtype = aug_dtype if aug_dtype is not None else jnp.float32
 
@@ -126,7 +131,7 @@ def make_train_step(model, mean, std, img_dim=128, use_flow=False,
         return _fused_step_body(
             model, mean, std, img_dim, use_flow, use_mask, aug_dtype,
             state, batch['rgb'], batch.get('flow'), batch.get('mask'),
-            batch['emb'], batch['flip'], rng)
+            batch['emb'], batch['flip'], rng, jitter_order)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -167,7 +172,8 @@ def _cache_gather(cache, idx, mesh, rows_per_device):
 
 def make_cached_train_step(model, mean, std, img_dim=128, use_flow=False,
                            use_mask=True, donate=True, aug_dtype=None,
-                           mesh=None, rows_per_device=None):
+                           mesh=None, rows_per_device=None,
+                           jitter_order='batch'):
     """Train step over an HBM-resident crop cache (`data/hbm_cache.py`).
 
     The batch carries only row indices + targets (~KB); pixels are
@@ -189,7 +195,7 @@ def make_cached_train_step(model, mean, std, img_dim=128, use_flow=False,
         return _fused_step_body(
             model, mean, std, img_dim, use_flow, use_mask, aug_dtype,
             state, g['rgb'], g.get('flow'), g.get('mask'),
-            batch['emb'], batch['flip'], rng)
+            batch['emb'], batch['flip'], rng, jitter_order)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -91,7 +91,9 @@ class VPDTrainer:
         self.train_step = make_train(
             self.model, mean, std, img_dim=img_dim,
             use_flow=config['use_flow'], use_mask=use_mask,
-            aug_dtype=model_dtype, **cache_kw)
+            aug_dtype=model_dtype,
+            jitter_order=self.config.get('jitter_order', 'batch'),
+            **cache_kw)
         if self.config.get('augment_val'):
             # Reference parity: val batches are augmented too
             # (single_frame.py:354); see QUIRKS.md "Deviations".
@@ -290,9 +292,16 @@ def default_config(dataset, emb_dim, num_epochs=1000, batch_size=100,
                    learning_rate=5e-4, img_dim=128, use_flow=False,
                    motion=False, encoder_arch='resnet34', pretrained=False,
                    model_select_window=5, checkpoint_frequency=None,
-                   augment_val=False):
-    """Manifest schema parity with `train_vpd_model.py:222-228`."""
+                   augment_val=False, jitter_order='batch'):
+    """Manifest schema parity with `train_vpd_model.py:222-228`.
+
+    `jitter_order` is recorded only when non-default ('per_sample') so
+    the manifest stays schema-identical to reference-written configs.
+    """
+    extra = ({'jitter_order': jitter_order}
+             if jitter_order != 'batch' else {})
     return {
+        **extra,
         'augment_val': augment_val,
         'dataset': dataset,
         'num_epochs': num_epochs,
