@@ -139,4 +139,73 @@ int64_t vpd_decode_crops(const char* const* rgb_paths,
   return failures.load();
 }
 
+// Pack n RGB crops (n, h, w, 3) uint8 into YUV 4:2:0 planes
+// (n, h*w + 2*(h/2)*(w/2)) for host->device upload (halves the bytes on
+// tunnel-attached hosts; see vpd_tpu/data/upload_codec.py). Bit-exact
+// with encode_yuv420_numpy's float32 spec: per-pixel float32 luma, 2x2
+// integer chroma sums * 0.25f (exactly representable), fixed op order,
+// round-half-even (nearbyintf, default FE_TONEAREST), clip to [0, 255].
+int64_t vpd_yuv420_pack(const uint8_t* rgb, int64_t n, int32_t h,
+                        int32_t w, int32_t n_threads, uint8_t* out) {
+  if (h % 2 || w % 2) return -1;
+  const size_t in_sz = static_cast<size_t>(h) * w * 3;
+  const size_t n_y = static_cast<size_t>(h) * w;
+  const size_t n_c = static_cast<size_t>(h / 2) * (w / 2);
+  const size_t out_sz = n_y + 2 * n_c;
+  const float kr = 0.299f, kg = 0.587f, kb = 0.114f;
+  const float us = 0.564f, vs = 0.713f;
+  auto q = [](float z) -> uint8_t {
+    z = nearbyintf(z);
+    if (z < 0.f) z = 0.f;
+    if (z > 255.f) z = 255.f;
+    return static_cast<uint8_t>(z);
+  };
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* src = rgb + i * in_sz;
+      uint8_t* yp = out + i * out_sz;
+      uint8_t* up = yp + n_y;
+      uint8_t* vp = up + n_c;
+      for (int y = 0; y < h; y += 2) {
+        const uint8_t* row0 = src + static_cast<size_t>(y) * w * 3;
+        const uint8_t* row1 = row0 + static_cast<size_t>(w) * 3;
+        uint8_t* y0 = yp + static_cast<size_t>(y) * w;
+        uint8_t* y1 = y0 + w;
+        uint8_t* uc = up + static_cast<size_t>(y / 2) * (w / 2);
+        uint8_t* vc = vp + static_cast<size_t>(y / 2) * (w / 2);
+        for (int x = 0; x < w; x += 2) {
+          const uint8_t* p00 = row0 + static_cast<size_t>(x) * 3;
+          const uint8_t* p01 = p00 + 3;
+          const uint8_t* p10 = row1 + static_cast<size_t>(x) * 3;
+          const uint8_t* p11 = p10 + 3;
+          y0[x] = q(kr * p00[0] + kg * p00[1] + kb * p00[2]);
+          y0[x + 1] = q(kr * p01[0] + kg * p01[1] + kb * p01[2]);
+          y1[x] = q(kr * p10[0] + kg * p10[1] + kb * p10[2]);
+          y1[x + 1] = q(kr * p11[0] + kg * p11[1] + kb * p11[2]);
+          // 2x2 integer sums * 0.25f are exact in float32 (<= 1020)
+          const float r2 = 0.25f * (p00[0] + p01[0] + p10[0] + p11[0]);
+          const float g2 = 0.25f * (p00[1] + p01[1] + p10[1] + p11[1]);
+          const float b2 = 0.25f * (p00[2] + p01[2] + p10[2] + p11[2]);
+          const float y2 = kr * r2 + kg * g2 + kb * b2;
+          uc[x / 2] = q((b2 - y2) * us + 128.0f);
+          vc[x / 2] = q((r2 - y2) * vs + 128.0f);
+        }
+      }
+    }
+  };
+  const int tn = n_threads > 0 ? n_threads : 1;
+  if (tn == 1 || n <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(tn);
+    for (int t = 0; t < tn; ++t) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -27,8 +27,12 @@ _lib_failed = False
 
 def _build():
     from ..ops.dtw_native import build_locked
+    # fp-contract=off: vpd_yuv420_pack must match the numpy encoder
+    # bit for bit (FMA contraction under -march=native would skew the
+    # float32 luma/chroma sums by 1 ULP around rounding boundaries)
     build_locked(_SRC, _LIB_PATH,
-                 extra_flags=['-lpng', '-lz', '-pthread'])
+                 extra_flags=['-lpng', '-lz', '-pthread',
+                              '-ffp-contract=off'])
 
 
 def get_lib():
@@ -51,6 +55,12 @@ def get_lib():
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8)]
+    if hasattr(lib, 'vpd_yuv420_pack'):  # absent in pre-round-4 builds
+        lib.vpd_yuv420_pack.restype = ctypes.c_int64
+        lib.vpd_yuv420_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return _lib
 
@@ -112,3 +122,23 @@ def decode_crops(rgb_paths, img_dim, *, flow_paths=None, mask_paths=None,
     return (rgb_out,
             flow_out if flow_paths is not None else None,
             mask_out if mask_paths is not None else None)
+
+
+def yuv420_pack(rgb, n_threads=None):
+    """Pack (B, H, W, 3) uint8 RGB into (B, H*W*3//2) YUV 4:2:0 planes
+    with the native single-pass packer (GIL released; bit-exact with
+    `data.upload_codec.encode_yuv420_numpy`)."""
+    lib = get_lib()
+    assert lib is not None and hasattr(lib, 'vpd_yuv420_pack'), \
+        'native yuv420 packer unavailable'
+    rgb = np.ascontiguousarray(rgb)
+    assert rgb.dtype == np.uint8 and rgb.ndim == 4 and rgb.shape[-1] == 3
+    b, h, w, _ = rgb.shape
+    assert h % 2 == 0 and w % 2 == 0, 'yuv420 needs even dims'
+    out = np.empty((b, h * w + 2 * (h // 2) * (w // 2)), np.uint8)
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    rc = lib.vpd_yuv420_pack(_buf_arg(rgb), b, h, w, n_threads,
+                             _buf_arg(out))
+    assert rc == 0, rc
+    return out

@@ -53,7 +53,8 @@ def load_student_dir(model_dir, model_epoch=None, dtype=None):
     return model, {'params': params, 'batch_stats': stats}, config
 
 
-def make_variant_embed(model, variables, config, jitter=0, flip=True):
+def make_variant_embed(model, variables, config, jitter=0, flip=True,
+                       upload_codec=None):
     """Jitted: (B, S, S, 3[+flow]) uint8 -> (B, k, D) variant embeddings.
 
     Variant order: [orig, jitter x j, flip, flip-jitter x j] (flipped
@@ -63,13 +64,22 @@ def make_variant_embed(model, variables, config, jitter=0, flip=True):
     eager fold_in dispatch per chunk) so every chunk draws fresh jitter
     factors, like the reference's fresh ColorJitter draw per image
     (`single_frame.py:377-386`).
+
+    `upload_codec='yuv420'`: the rgb operand is the PACKED
+    (B, S*S*3//2) uint8 plane array from `data.upload_codec` — decoded
+    back to uint8 RGB at the top of the program (halves H2D bytes on
+    upload-bound links; lossy opt-in, see upload_codec.py).
     """
     mean, std = config['rgb_mean_std']
     use_flow = config['use_flow']
+    img_dim = config['img_dim']
     encoder_only = model.encoder  # motion head is train-only
 
     @jax.jit
     def fn(rgb_u8, flow_u8, rng, chunk_i=0):
+        if upload_codec == 'yuv420':
+            from ..data.upload_codec import decode_yuv420
+            rgb_u8 = decode_yuv420(rgb_u8, img_dim, img_dim)
         x = eval_transform_batch(rgb_u8, mean, std,
                                  flow_u8=flow_u8 if use_flow else None)
         variants = [x]
@@ -143,7 +153,8 @@ def scan_tennis_crop_dir(video_dir, crop_dir):
 def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
               flow_img_name=None, jitter=0, no_flip=False,
               batch_size=EXTRACT_BATCH, mesh=None, log=print,
-              prepared=None, embed_fn=None, shard_reader=None, seed=0):
+              prepared=None, embed_fn=None, shard_reader=None, seed=0,
+              upload_codec=None):
     """Extraction; pass a `Mesh` to shard batches across chips (inference
     fan-out: sharded batch embed + host gather, SURVEY.md §2.8).
 
@@ -157,6 +168,11 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
     (`data.shards.ShardReader` built with crop_root) replaces PNG decode
     with a memmap gather for packed crops; unpacked crops fall back to
     the decoder per row.
+
+    `upload_codec='yuv420'` packs RGB host-side to half the bytes and
+    decodes on device (lossy opt-in for upload-bound links; see
+    `data/upload_codec.py`). Requires `embed_fn=None` or an embed built
+    with the same `upload_codec`; flow planes ship raw either way.
     """
     model, variables, config = (prepared if prepared is not None
                                 else load_student_dir(model_dir,
@@ -169,7 +185,8 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             'embed_fn bakes in its own jitter/flip variant set; passing '
             'jitter/no_flip alongside it would be silently ignored')
     embed = embed_fn if embed_fn is not None else make_variant_embed(
-        model, variables, config, jitter=jitter, flip=not no_flip)
+        model, variables, config, jitter=jitter, flip=not no_flip,
+        upload_codec=upload_codec)
     if embed_fn is not None:
         import inspect
 
@@ -209,6 +226,9 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                              for _, _, prefix in chunk]
                             if config['use_flow'] else None),
                 rgb_out=rgb, flow_out=flow)
+        if upload_codec == 'yuv420':
+            from ..data.upload_codec import encode_yuv420
+            rgb = encode_yuv420(rgb)  # (B, S*S*3//2): half the bytes
         if mesh is not None:
             # Multi-device placement stays on the MAIN thread (compute):
             # a sharded device_put racing an in-flight sharded program

@@ -23,11 +23,17 @@ def get_args():
     parser.add_argument('--crop_shards', type=str,
                         help='packed crop-shard dir (tools/pack_crops); '
                              'replaces PNG decode with a memmap gather')
+    parser.add_argument('--upload_codec', type=str, default='raw',
+                        choices=('raw', 'yuv420'),
+                        help='yuv420: pack RGB to half the bytes before '
+                             'host->device upload and decode on device '
+                             '(lossy chroma subsampling; for upload-'
+                             'bound links, see data/upload_codec.py)')
     return parser.parse_args()
 
 
 def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
-         flow_img, batch_size, crop_shards=None):
+         flow_img, batch_size, crop_shards=None, upload_codec='raw'):
     if dataset == 'tennis':
         crop_dir = paths.TENNIS_CROP_DIR
         videos, tasks = scan_tennis_crop_dir(
@@ -52,7 +58,9 @@ def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
 
     apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=model_epoch,
               flow_img_name=flow_img, jitter=jitter, no_flip=no_flip,
-              batch_size=batch_size, shard_reader=shard_reader)
+              batch_size=batch_size, shard_reader=shard_reader,
+              upload_codec=(None if upload_codec == 'raw'
+                            else upload_codec))
     print('Done!')
 
 

@@ -40,6 +40,10 @@ def get_args():
     p.add_argument('--shards', action='store_true',
                    help='pack the corpus into crop shards first and feed '
                         'extraction from the memmap gather (no decode)')
+    p.add_argument('--upload_codec', default='raw',
+                   choices=('raw', 'yuv420'),
+                   help='yuv420: halve host->device bytes via the lossy '
+                        'upload codec (data/upload_codec.py)')
     return p.parse_args()
 
 
@@ -162,12 +166,18 @@ def main():
 
     from ..infer.apply_vpd import load_student_dir, make_variant_embed
     model, variables, config = load_student_dir(model_dir)
-    embed = make_variant_embed(model, variables, config)
+    codec = None if args.upload_codec == 'raw' else args.upload_codec
+    embed = make_variant_embed(model, variables, config,
+                               upload_codec=codec)
     rng = jax.random.key(0)
     u8 = np.random.default_rng(1)
-    dev_rgb = jax.device_put(u8.integers(
+    host_rgb = u8.integers(
         0, 255, (args.batch_size, args.img_dim, args.img_dim, 3),
-        dtype=np.uint8))
+        dtype=np.uint8)
+    if codec == 'yuv420':
+        from ..data.upload_codec import encode_yuv420
+        host_rgb = encode_yuv420(host_rgb)
+    dev_rgb = jax.device_put(host_rgb)
     dev_flow = jax.device_put(u8.integers(
         0, 255, (args.batch_size, args.img_dim, args.img_dim, 3),
         dtype=np.uint8)) if args.flow else None
@@ -183,7 +193,7 @@ def main():
               flow_img_name='flow' if args.flow else None,
               batch_size=args.batch_size, log=lambda *a: None,
               prepared=(model, variables, config), embed_fn=embed,
-              shard_reader=shard_reader)
+              shard_reader=shard_reader, upload_codec=codec)
     e2e_rate = n / (time.perf_counter() - t0)
     assert len(os.listdir(out_dir)) == args.num_videos
 
