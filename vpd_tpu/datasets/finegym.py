@@ -84,22 +84,31 @@ def _load_window_embs(emb_path, lo, hi, rate, interp_skipped):
     return out if len(out) else None
 
 
+def _iter_labeled_actions(labels, meta_dict, annotations):
+    """Resolve each labeled action id to its video-event key, metadata,
+    and annotated timestamp pair; ids whose video-event has no metadata
+    entry are silently dropped (reference behavior)."""
+    for full_action_id in labels:
+        video_id, event_id, action_id = parse_full_action_id(full_action_id)
+        video_event_id = video_id + '_' + event_id
+        video_meta = meta_dict.get(video_event_id)
+        if video_meta is not None:
+            segment = annotations[video_id][event_id]['segments'][action_id]
+            yield (full_action_id, video_event_id, video_meta,
+                   segment['timestamps'][0])
+
+
 def load_actions(annotations, labels, meta_dict, emb_dir=None, norm=False,
                  pre_seconds=0, min_seconds=0, max_seconds=1000,
                  target_fps=None, interp_skipped=False):
     """{full_action_id: ((start_frame, end_frame), embs or None)}."""
     result = {}
-    for full_action_id in labels:
-        video_id, event_id, action_id = parse_full_action_id(full_action_id)
-        video_event_id = '{}_{}'.format(video_id, event_id)
-        video_meta = meta_dict.get(video_event_id)
-        if video_meta is None:
-            continue
-
+    for (full_action_id, video_event_id, video_meta,
+         timestamps) in _iter_labeled_actions(labels, meta_dict,
+                                              annotations):
         start_frame, end_frame = _action_window(
-            annotations[video_id][event_id]['segments'][action_id][
-                'timestamps'][0],
-            pre_seconds, min_seconds, max_seconds, video_meta.fps)
+            timestamps, pre_seconds, min_seconds, max_seconds,
+            video_meta.fps)
 
         embs = None
         if emb_dir is not None:

@@ -10,6 +10,7 @@ allocate-and-blit (differential-tested in test_reference_oracle.py).
 import os
 import random
 from collections import namedtuple
+from contextlib import contextmanager
 from subprocess import check_call
 
 import numpy as np
@@ -24,6 +25,17 @@ VideoMetadata = namedtuple('VideoMetadata', [
     'fps', 'num_frames', 'width', 'height'])
 
 
+@contextmanager
+def open_capture(video_path):
+    """cv2.VideoCapture with guaranteed release."""
+    import cv2
+    vc = cv2.VideoCapture(video_path)
+    try:
+        yield vc
+    finally:
+        vc.release()
+
+
 def _get_metadata(vc):
     import cv2
     return VideoMetadata(
@@ -34,35 +46,23 @@ def _get_metadata(vc):
 
 
 def get_metadata(video_path):
-    import cv2
-    vc = cv2.VideoCapture(video_path)
-    try:
+    with open_capture(video_path) as vc:
         return _get_metadata(vc)
-    finally:
-        vc.release()
 
 
 def decode_frame(video_path, frame_num):
     import cv2
-    vc = cv2.VideoCapture(video_path)
-    try:
-        meta = _get_metadata(vc)
-        assert frame_num < meta.num_frames
+    with open_capture(video_path) as vc:
+        assert frame_num < _get_metadata(vc).num_frames
         vc.set(cv2.CAP_PROP_POS_FRAMES, frame_num)
         is_ok, frame = vc.read()
         assert is_ok
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-    finally:
-        vc.release()
 
 
 def pick_frame(video_path):
-    import cv2
-    vc = cv2.VideoCapture(video_path)
-    try:
+    with open_capture(video_path) as vc:
         return random.randint(0, _get_metadata(vc).num_frames - 1)
-    finally:
-        vc.release()
 
 
 def _coarse_seek_ts(start_frame, fps):
@@ -88,19 +88,18 @@ def cut_segment_cv2(video_file, video_meta, out_file, start, end,
     """ffmpeg-free segment cut (reference util/video.py:65-81)."""
     import cv2
     log('Extracting using cv2: {}'.format(out_file))
-    vc = cv2.VideoCapture(video_file)
-    width = int(vc.get(cv2.CAP_PROP_FRAME_WIDTH))
-    height = int(vc.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    fps = vc.get(cv2.CAP_PROP_FPS)
-    vo = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*'mp4v'),
-                         fps, (width, height))
-    vc.set(cv2.CAP_PROP_POS_FRAMES, start)
-    for _ in range(end - start):
-        ret, frame = vc.read()
-        assert ret
-        vo.write(frame)
-    vc.release()
-    vo.release()
+    with open_capture(video_file) as vc:
+        meta = _get_metadata(vc)
+        vo = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*'mp4v'),
+                             meta.fps, (meta.width, meta.height))
+        vc.set(cv2.CAP_PROP_POS_FRAMES, start)
+        try:
+            for _ in range(end - start):
+                ret, frame = vc.read()
+                assert ret
+                vo.write(frame)
+        finally:
+            vo.release()
 
 
 def cut_frames(video_file, video_meta, out_dir, start, end,
@@ -168,13 +167,15 @@ def crop_frame(x1, y1, x2, y2, frame, make_square=False,
 
 def frames_to_video(out_file, frame_files, fps):
     import cv2
-    vo = None
-    for frame_file in frame_files:
-        img = cv2.imread(frame_file)
-        if vo is None:
-            h, w, _ = img.shape
-            vo = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*'avc1'),
-                                 fps, (w, h))
-        vo.write(img)
-    if vo is not None:
+    if not frame_files:
+        return  # nothing decoded -> no writer, no output file
+    frames = (cv2.imread(f) for f in frame_files)
+    first = next(frames)
+    vo = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*'avc1'),
+                         fps, (first.shape[1], first.shape[0]))
+    try:
+        vo.write(first)
+        for img in frames:
+            vo.write(img)
+    finally:
         vo.release()
