@@ -17,14 +17,24 @@ TENNIS_TEST_PREFIXES = (
 )
 
 
+# tennis videos come in whole-court plus per-player camera variants;
+# a held-out match excludes all three
+_TENNIS_VIEWS = ('', 'front__', 'back__')
+
+
 def _get_tennis_prefixes(video_list):
-    return tuple('{}{}'.format(x, y) for x in ['', 'front__', 'back__']
-                 for y in video_list)
+    return tuple(view + video for view in _TENNIS_VIEWS
+                 for video in video_list)
+
+
+_PREFIX_FAMILIES = (
+    ('fs', lambda: FS_TEST_PREFIXES),
+    ('tennis', lambda: _get_tennis_prefixes(TENNIS_TEST_PREFIXES)),
+)
 
 
 def get_test_prefixes(dataset):
-    if dataset.startswith('fs'):
-        return FS_TEST_PREFIXES
-    elif dataset.startswith('tennis'):
-        return _get_tennis_prefixes(TENNIS_TEST_PREFIXES)
+    for family, prefixes in _PREFIX_FAMILIES:
+        if dataset.startswith(family):
+            return prefixes()
     raise NotImplementedError('Unknown dataset: {}'.format(dataset))

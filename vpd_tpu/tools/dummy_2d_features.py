@@ -2,7 +2,10 @@
 """2D-VPD baseline teacher: normalized 2D keypoints as the "embedding".
 
 CLI parity with reference `dummy_2d_features.py` (the teacher-free way to
-exercise the whole student + downstream stack).
+exercise the whole student + downstream stack). Re-derived: each video's
+poses normalize as ONE batched call (`normalize_2d_skeleton_batch`) for
+the forward and flipped variants instead of per-frame loops; rows are
+then zipped back into the `.emb.pkl` interchange format.
 """
 
 import argparse
@@ -11,7 +14,7 @@ import os
 import numpy as np
 
 from ..core.io import load_gz_json, store_pickle
-from ..geometry.coco import normalize_2d_skeleton
+from ..geometry.coco import normalize_2d_skeleton_batch
 from ..infer.apply_vipe import iter_pose_videos
 
 
@@ -23,21 +26,34 @@ def get_args():
     return parser.parse_args()
 
 
+def video_dummy_embs(pose_rows, no_flip):
+    """[(frame, pose_data)] -> [(frame, emb, meta)] for one video.
+
+    emb is the flattened xy of the normalized top pose — (26,) raw, or
+    (2, 26) stacked [orig, flip] unless no_flip. kp_score averages the
+    13 kept joints' confidences (the normalizer shifts confs by -0.5,
+    so +0.5 recovers them).
+    """
+    if not pose_rows:
+        return []
+    frames = [frame for frame, _ in pose_rows]
+    raw = np.array([rows[0][-1] for _, rows in pose_rows], np.float32)
+    n = len(raw)
+
+    fwd = normalize_2d_skeleton_batch(raw, np.zeros(n, bool))
+    scores = np.mean(fwd[:, :, 2] + 0.5, axis=1)
+    embs = fwd[:, :, :2].reshape(n, -1)
+    if not no_flip:
+        rev = normalize_2d_skeleton_batch(raw, np.ones(n, bool))
+        embs = np.stack([embs, rev[:, :, :2].reshape(n, -1)], axis=1)
+
+    return [(frame, emb, {'is_2d': True, 'kp_score': float(s)})
+            for frame, emb, s in zip(frames, embs, scores)]
+
+
 def main(pose_dir, out_dir, no_flip):
     for video_name, pose_path in iter_pose_videos(pose_dir):
-        embs = []
-        for frame_num, pose_data in load_gz_json(pose_path):
-            raw_2d = np.array(pose_data[0][-1])
-            pose_2d = normalize_2d_skeleton(raw_2d, False)
-            emb = pose_2d[:, :2].flatten()  # drop confidence column
-            meta = {'is_2d': True,
-                    'kp_score': float(np.mean(pose_2d[:, 2] + 0.5))}
-            if not no_flip:
-                emb2 = normalize_2d_skeleton(
-                    raw_2d, True)[:, :2].flatten()
-                emb = np.stack([emb, emb2])
-            embs.append((frame_num, emb, meta))
-
+        embs = video_dummy_embs(list(load_gz_json(pose_path)), no_flip)
         if out_dir is not None:
             os.makedirs(out_dir, exist_ok=True)
             store_pickle(

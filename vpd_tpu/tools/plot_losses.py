@@ -24,11 +24,11 @@ def get_args():
 
 
 def collect_dataset_losses(losses, key):
+    pairs = ((name, entry['epoch'], value) for entry in losses
+             for name, value in entry.get(key, ()))
     datasets = defaultdict(list)
-    for l in losses:
-        if key in l:
-            for d, v in l[key]:
-                datasets[d].append((l['epoch'], v))
+    for name, epoch, value in pairs:
+        datasets[name].append((epoch, value))
     return datasets
 
 
@@ -46,18 +46,16 @@ def main(model_dir, max_epoch, out_file, pause=60):
 
     losses = load_json(os.path.join(model_dir, 'loss.json'))
 
-    best_val_loss = float('inf')
-    best_epoch = None
-    for l in losses:
-        if l['val'] < best_val_loss:
-            best_epoch, best_val_loss = l['epoch'], l['val']
+    best_epoch, best_val_loss = min(
+        ((entry['epoch'], entry['val']) for entry in losses),
+        key=lambda pair: pair[1])
     print('Best epoch:', best_epoch)
     print('Best val loss:', best_val_loss)
 
     print()
+    val_history = [entry['val'] for entry in losses]
     for i in range(3, 11, 2):  # reference plot_losses.py:50-52
-        print('Val loss (smooth: {}):'.format(i),
-              min(smooth([l['val'] for l in losses], i)))
+        print('Val loss (smooth: {}):'.format(i), min(smooth(val_history, i)))
 
     dataset_train = collect_dataset_losses(losses, 'dataset_train')
     dataset_val = collect_dataset_losses(losses, 'dataset_val')
@@ -70,27 +68,30 @@ def main(model_dir, max_epoch, out_file, pause=60):
         fig = plt.figure(figsize=(7, 4))
         main_ax, sub_ax = plt.gca(), None
 
-    epochs, val_losses, train_losses = zip(
-        *[(l['epoch'], l['val'], l['train']) for l in losses
-          if max_epoch is None or l['epoch'] <= max_epoch])
-    main_ax.plot(epochs, train_losses, label='train', lw=1, alpha=0.5)
-    main_ax.plot(epochs, val_losses, label='val', lw=1, alpha=0.5)
-    main_ax.plot(epochs, smooth(train_losses, 3),
-                 label='train (smooth +/-3)', lw=2, linestyle=':')
-    main_ax.plot(epochs, smooth(val_losses, 3),
-                 label='val (smooth +/-3)', lw=2, linestyle=':')
+    visible = [entry for entry in losses
+               if max_epoch is None or entry['epoch'] <= max_epoch]
+    epochs = [entry['epoch'] for entry in visible]
+    curves = {}
+    for split in ('train', 'val'):
+        ys = [entry[split] for entry in visible]
+        curves[split] = (ys, dict(lw=1, alpha=0.5))
+        curves[split + ' (smooth +/-3)'] = (smooth(ys, 3),
+                                            dict(lw=2, linestyle=':'))
+    for label, (ys, style) in curves.items():
+        main_ax.plot(epochs, ys, label=label, **style)
     main_ax.set_title('Losses: {}'.format(model_dir))
     main_ax.legend(loc='upper right')
     main_ax.set_xlabel('epoch')
     main_ax.set_ylabel('avg_loss')
 
     if sub_ax is not None:
-        for name, vals in sorted(dataset_train.items()):
-            x, y = zip(*vals)
-            sub_ax.plot(x, y, linestyle=':', label='train ({})'.format(name))
-        for name, vals in sorted(dataset_val.items()):
-            x, y = zip(*vals)
-            sub_ax.plot(x, y, label='val ({})'.format(name))
+        breakdown = (('train', dataset_train, {'linestyle': ':'}),
+                     ('val', dataset_val, {}))
+        for split, per_dataset, style in breakdown:
+            for name, vals in sorted(per_dataset.items()):
+                xs, ys = zip(*vals)
+                sub_ax.plot(xs, ys, label='{} ({})'.format(split, name),
+                            **style)
         sub_ax.set_title('Loss breakdown by dataset')
         sub_ax.legend(loc='upper right')
 

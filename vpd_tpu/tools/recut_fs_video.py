@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
 """Cut figure-skating broadcasts into routine clips named
-'<video>_<nn>_<start>_<end>.mp4' (parity: `recut_fs_video.py`)."""
+'<video>_<nn>_<start>_<end>.mp4' (parity: `recut_fs_video.py`).
+Re-derived: CSV parses to flat rows then groups; per-video frame
+windows compute up front; one process-pool job per source video.
+"""
 
 import argparse
 import csv
@@ -21,28 +24,35 @@ def get_args():
 
 
 def parse_duration(s):
-    hh, mm, ss = s.split(':')
-    return (int(hh) * 60 + int(mm)) * 60 + int(ss)
+    """'HH:MM:SS' -> seconds."""
+    hh, mm, ss = (int(part) for part in s.split(':'))
+    return hh * 3600 + mm * 60 + ss
 
 
 def load_segments(segment_file):
-    segment_dict = defaultdict(list)
     with open(segment_file) as fp:
-        for row in csv.DictReader(fp):
-            segment_dict[row['video']].append(
-                (parse_duration(row['start']), parse_duration(row['end'])))
+        rows = [(r['video'], parse_duration(r['start']),
+                 parse_duration(r['end']))
+                for r in csv.DictReader(fp)]
+    segment_dict = defaultdict(list)
+    for video, start, end in rows:
+        segment_dict[video].append((start, end))
     return segment_dict
 
 
+def _clip_name(stem, seq_num, start_frame, end_frame):
+    return '{}_{:02d}_{:08d}_{:08d}.mp4'.format(
+        stem, seq_num, start_frame, end_frame)
+
+
 def recut_single(video_file, segments, out_dir):
-    video_meta = get_metadata(video_file)
-    video_name = os.path.basename(video_file).rsplit('.')[0]
-    for seq_num, (start, end) in enumerate(segments):
-        start_frame = int(start * video_meta.fps)
-        end_frame = int((end + 1) * video_meta.fps)
-        out_file = os.path.join(out_dir, '{}_{:02d}_{:08d}_{:08d}.mp4'.format(
-            video_name, seq_num + 1, start_frame, end_frame))
-        cut_segment(video_file, video_meta, out_file, start_frame, end_frame)
+    meta = get_metadata(video_file)
+    stem = os.path.basename(video_file).rsplit('.')[0]
+    windows = [(int(start * meta.fps), int((end + 1) * meta.fps))
+               for start, end in segments]
+    for seq_num, (sf, ef) in enumerate(windows, start=1):
+        out_file = os.path.join(out_dir, _clip_name(stem, seq_num, sf, ef))
+        cut_segment(video_file, meta, out_file, sf, ef)
 
 
 def main(video_dir, out_dir, padding):
@@ -50,13 +60,11 @@ def main(video_dir, out_dir, padding):
         os.path.join(ACTION_DATA_DIR, 'fs', 'segments.csv'))
 
     worker_args = []
-    for video_name, video_segments in segment_dict.items():
+    for video_name, spans in segment_dict.items():
         video_file = os.path.join(video_dir, video_name + '.mkv')
         assert os.path.isfile(video_file), video_file
-        worker_args.append((
-            video_file,
-            [(a - padding, b + padding) for a, b in video_segments],
-            out_dir))
+        padded = [(start - padding, end + padding) for start, end in spans]
+        worker_args.append((video_file, padded, out_dir))
 
     os.makedirs(out_dir, exist_ok=True)
     with Pool(min(8, len(worker_args))) as p:

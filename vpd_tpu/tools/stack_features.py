@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Concatenate two embedding dirs per frame (e.g. VIPE (+) 2D).
 
-CLI parity with reference `stack_features.py` (min-of-scores meta).
+CLI parity with reference `stack_features.py` (same positional dirs,
+optional -o out dir, min-of-scores meta). Re-derived: per-video merge is
+one stacked concatenate over the whole video instead of a per-row loop;
+the two embedding sets are first checked frame-aligned in bulk.
 """
 
 import argparse
@@ -21,28 +24,45 @@ def get_args():
     return parser.parse_args()
 
 
+def stack_video_embs(rows1, rows2, name=''):
+    """Merge two aligned [(frame, vec, meta)] lists for one video.
+
+    Vectors concatenate on their LAST axis — which reproduces the
+    reference's axis=0-if-1D-else-1 rule for both the (D,) and the
+    (variants, D) layouts. The surviving meta dict is the first input's
+    (mutated in place, like the reference), with `kp_score` replaced by
+    the elementwise min of both sides' pose scores.
+    """
+    assert len(rows1) == len(rows2)
+    if not rows1:
+        return []
+    frames1 = [frame for frame, _, _ in rows1]
+    frames2 = [frame for frame, _, _ in rows2]
+    for f1, f2 in zip(frames1, frames2):
+        assert f1 == f2, 'Frame mismatch: {} != {} - {}'.format(f1, f2, name)
+
+    stacked = np.concatenate(
+        [np.stack([vec for _, vec, _ in rows1]),
+         np.stack([vec for _, vec, _ in rows2])], axis=-1)
+    merged = []
+    for (frame, _, meta), (_, _, meta2), vec in zip(rows1, rows2, stacked):
+        meta['kp_score'] = min(get_pose_score(meta, 0.5),
+                               get_pose_score(meta2, 0.5))
+        merged.append((frame, vec, meta))
+    return merged
+
+
 def main(emb_dir1, emb_dir2, out_dir):
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
 
     for emb_file in sorted(os.listdir(emb_dir1)):
-        embs1 = load_pickle(os.path.join(emb_dir1, emb_file))
-        embs2 = load_pickle(os.path.join(emb_dir2, emb_file))
-        assert len(embs1) == len(embs2)
-
-        embs = []
-        for a, b in zip(embs1, embs2):
-            assert a[0] == b[0], 'Frame mismatch: {} != {} - {}'.format(
-                a[0], b[0], emb_file)
-            stacked = np.concatenate(
-                (a[1], b[1]), axis=0 if len(a[1].shape) == 1 else 1)
-            meta = a[2]
-            meta['kp_score'] = min(get_pose_score(meta, 0.5),
-                                   get_pose_score(b[2], 0.5))
-            embs.append((a[0], stacked, meta))
-
+        merged = stack_video_embs(
+            load_pickle(os.path.join(emb_dir1, emb_file)),
+            load_pickle(os.path.join(emb_dir2, emb_file)),
+            name=emb_file)
         if out_dir is not None:
-            store_pickle(os.path.join(out_dir, emb_file), embs)
+            store_pickle(os.path.join(out_dir, emb_file), merged)
     print('Done!')
 
 

@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""Overlay COCO-17 pose skeletons on a video (parity: `view_2d_pose.py`)."""
+"""Overlay COCO-17 pose skeletons on a video (parity: `view_2d_pose.py`).
+Re-derived: frames stream through utils.video's capture helpers and bone
+endpoints gather via numpy indexing. The reference's cv2.imshow preview
+(fatal on headless hosts, see utils/display.py) is deliberately absent —
+pass -v to render to a file instead."""
 
 import argparse
 import os
@@ -8,11 +12,14 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 from ..core.io import load_gz_json
+from ..utils.video import _get_metadata, open_capture
 
+# 1-indexed joint pairs, as in the public COCO skeleton definition
 COCO_BONES = (
     (16, 14), (14, 12), (17, 15), (15, 13), (12, 13), (6, 12), (7, 13),
     (6, 7), (6, 8), (7, 9), (8, 10), (9, 11), (2, 3), (1, 2), (1, 3),
     (2, 4), (3, 5), (4, 6), (5, 7))
+_BONE_IDX = np.array(COCO_BONES) - 1
 
 
 def get_args():
@@ -27,49 +34,45 @@ def get_args():
 def draw_keypoints(im, kp_poses, w=3, fill='white'):
     draw = ImageDraw.Draw(im)
     for pose in kp_poses:
-        kp = pose[-1]
-        for a, b in COCO_BONES:
-            x1, y1 = kp[a - 1][0], kp[a - 1][1]
-            x2, y2 = kp[b - 1][0], kp[b - 1][1]
-            draw.line((x1, y1, x2, y2), fill=fill, width=w)
+        xy = np.asarray(pose[-1], dtype=np.float64)[:, :2]
+        for a, b in _BONE_IDX:
+            draw.line((*xy[a], *xy[b]), fill=fill, width=w)
+
+
+def _resolve_pose_file(video_file, pose_file):
+    if not os.path.isdir(pose_file):
+        return pose_file
+    video_name = os.path.splitext(os.path.basename(video_file))[0]
+    return os.path.join(pose_file, video_name, 'coco_keypoints.json.gz')
 
 
 def main(video_file, pose_file, vout_file, vout_scale):
     import cv2
 
-    if os.path.isdir(pose_file):
-        video_name = os.path.splitext(os.path.basename(video_file))[0]
-        pose_file = os.path.join(pose_file, video_name,
-                                 'coco_keypoints.json.gz')
-    kp_dict = dict(load_gz_json(pose_file))
+    kp_dict = dict(load_gz_json(_resolve_pose_file(video_file, pose_file)))
 
-    vc = cv2.VideoCapture(video_file)
-    fps = vc.get(cv2.CAP_PROP_FPS)
-    width = int(vc.get(cv2.CAP_PROP_FRAME_WIDTH))
-    height = int(vc.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    n = int(vc.get(cv2.CAP_PROP_FRAME_COUNT))
-
-    vo = None
-    if vout_file is not None:
-        scale = vout_scale if vout_scale and vout_scale != 1 else 1
-        vo_size = (int(width * scale), int(height * scale))
-        vo = cv2.VideoWriter(vout_file,
-                             cv2.VideoWriter_fourcc(*'mp4v'), fps, vo_size)
-
-    for frame_num in range(n):
-        ret, frame = vc.read()
-        if not ret:
-            break
-        poses = kp_dict.get(frame_num, [])
-        if poses:
-            im = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-            draw_keypoints(im, poses)
-            frame = cv2.cvtColor(np.array(im), cv2.COLOR_RGB2BGR)
-        if vo is not None:
-            if frame.shape[1] != vo_size[0]:
-                frame = cv2.resize(frame, vo_size)
-            vo.write(frame)
-    vc.release()
+    with open_capture(video_file) as vc:
+        meta = _get_metadata(vc)
+        vo = None
+        if vout_file is not None:
+            scale = vout_scale if vout_scale and vout_scale != 1 else 1
+            vo_size = (int(meta.width * scale), int(meta.height * scale))
+            vo = cv2.VideoWriter(vout_file,
+                                 cv2.VideoWriter_fourcc(*'mp4v'),
+                                 meta.fps, vo_size)
+        for frame_num in range(meta.num_frames):
+            ret, frame = vc.read()
+            if not ret:
+                break
+            poses = kp_dict.get(frame_num, [])
+            if poses:
+                im = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                draw_keypoints(im, poses)
+                frame = cv2.cvtColor(np.array(im), cv2.COLOR_RGB2BGR)
+            if vo is not None:
+                if frame.shape[1] != vo_size[0]:
+                    frame = cv2.resize(frame, vo_size)
+                vo.write(frame)
     if vo is not None:
         vo.release()
     print('Done!')
