@@ -148,6 +148,53 @@ def test_apply_vpd_upload_codec_end_to_end(tmp_path):
             np.testing.assert_array_equal(e1, e2)
 
 
+def test_apply_vpd_codec_on_mesh_matches_single_device(tmp_path):
+    """The codec composes with the multi-chip extraction fan-out: the
+    packed (B, H*W*3//2) batch shards on its leading axis like raw
+    crops, and a grayscale corpus (lossless packing) must reproduce the
+    single-device raw-path embeddings at cosine level (different
+    shardings pick different conv tilings)."""
+    from PIL import Image
+
+    from vpd_tpu.core.io import load_pickle
+    from vpd_tpu.core.mesh import get_mesh
+    from vpd_tpu.infer.apply_vpd import apply_vpd, scan_crop_dir
+    from vpd_tpu.tools.bench_extract_e2e import make_model_dir
+
+    rng = np.random.default_rng(6)
+    crop_dir = tmp_path / 'crops'
+    for v in range(2):
+        vdir = crop_dir / 'video{}'.format(v)
+        os.makedirs(vdir)
+        for f in range(16):
+            g = rng.integers(0, 256, (IMG, IMG, 1), dtype=np.uint8)
+            Image.fromarray(np.repeat(g, 3, axis=-1)).save(
+                vdir / '{}.png'.format(f))
+
+    model_dir = str(tmp_path / 'model')
+    make_model_dir(model_dir, 'resnet18', 8, IMG, False)
+    videos, tasks = scan_crop_dir(str(crop_dir))
+
+    out_raw = str(tmp_path / 'raw_single')
+    out_mesh = str(tmp_path / 'codec_mesh')
+    apply_vpd(videos, tasks, model_dir, out_raw, batch_size=16,
+              log=lambda *a: None)
+    apply_vpd(videos, tasks, model_dir, out_mesh, batch_size=16,
+              log=lambda *a: None, mesh=get_mesh(),
+              upload_codec='yuv420')
+
+    for v in videos:
+        raw = load_pickle(os.path.join(out_raw, v + '.emb.pkl'))
+        cod = load_pickle(os.path.join(out_mesh, v + '.emb.pkl'))
+        assert len(raw) == len(cod) == 16
+        for (f1, e1, _), (f2, e2, _) in zip(raw, cod):
+            assert f1 == f2
+            for ra, rb in zip(np.atleast_2d(e1), np.atleast_2d(e2)):
+                cos = float(np.dot(ra, rb) / (np.linalg.norm(ra)
+                                              * np.linalg.norm(rb)))
+                assert cos > 1 - 1e-4, cos
+
+
 def test_apply_vpd_codec_rejects_mismatched_embed_fn(tmp_path):
     """jitter/no_flip alongside embed_fn already raises; the codec path
     relies on the documented caller contract instead — smoke that a
