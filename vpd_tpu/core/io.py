@@ -7,6 +7,7 @@ a list of ``(frame_num, ndarray, metadata_dict)`` tuples, written with plain
 """
 
 import base64
+import functools
 import gzip
 import json
 import os
@@ -19,14 +20,17 @@ from PIL import Image
 EMB_FILE_SUFFIX = '.emb.pkl'
 
 
+def _read(fpath, opener, mode, parse, **open_kwargs):
+    with opener(fpath, mode, **open_kwargs) as fp:
+        return parse(fp)
+
+
 def load_json(fpath):
-    with open(fpath) as fp:
-        return json.load(fp)
+    return _read(fpath, open, 'r', json.load)
 
 
 def load_gz_json(fpath):
-    with gzip.open(fpath, 'rt', encoding='ascii') as fp:
-        return json.load(fp)
+    return _read(fpath, gzip.open, 'rt', json.load, encoding='ascii')
 
 
 def _replace_into(fpath, write_fn, mode, fsync=False):
@@ -69,8 +73,7 @@ def store_gz_json(fpath, obj):
 
 
 def load_pickle(fpath):
-    with open(fpath, 'rb') as fp:
-        return pickle.load(fp)
+    return _read(fpath, open, 'rb', pickle.load)
 
 
 def store_pickle(fpath, obj):
@@ -78,18 +81,13 @@ def store_pickle(fpath, obj):
 
 
 def load_text(fpath):
-    lines = []
-    with open(fpath, 'r') as fp:
-        for line in fp:
-            line = line.strip()
-            if line:
-                lines.append(line)
-    return lines
+    """Non-empty stripped lines of a text file."""
+    raw = _read(fpath, open, 'r', lambda fp: fp.read())
+    return [line for line in map(str.strip, raw.splitlines()) if line]
 
 
 def store_text(fpath, s):
-    with open(fpath, 'w') as fp:
-        fp.write(s)
+    _replace_into(fpath, lambda fp: fp.write(s), 'w')
 
 
 def decode_png(data):
@@ -109,14 +107,15 @@ def encode_png(data, optimize=True):
 
 
 def parse_time(time_str):
-    """Parse '[[hh:]mm:]ss.fff' into seconds."""
-    seconds = 0.
-    tokens = time_str.split(':')
-    assert len(tokens) <= 3
-    for i, t in enumerate(tokens):
-        seconds *= 60
-        seconds += int(t) if i != len(tokens) - 1 else float(t)
-    return seconds
+    """Parse '[[hh:]mm:]ss.fff' into seconds.
+
+    Whole-unit prefix tokens must parse as ints (same strictness as the
+    reference); only the final token may carry a fractional part.
+    """
+    *whole, last = time_str.split(':')
+    assert len(whole) <= 2
+    return functools.reduce(
+        lambda acc, tok: (acc + int(tok)) * 60, whole, 0) + float(last)
 
 
 def load_embs_pickle(fpath):

@@ -1,20 +1,16 @@
 """Held-out test video prefixes (parity: `action_dataset/eval.py:4-43`)."""
 
-# Hold out all videos from 2018 events
-FS_TEST_PREFIXES = (
-    'men_olympic_short_program_2018',
-    'men_world_short_program_2018',
-    'women_olympic_short_program_2018',
-    'women_world_short_program_2018',
-)
+# Figure skating holds out every 2018 short program: both genders at
+# both events (the names follow one pattern, so derive them).
+FS_TEST_PREFIXES = tuple(
+    '{}_{}_short_program_2018'.format(gender, event)
+    for gender in ('men', 'women') for event in ('olympic', 'world'))
 
-# Hold out by match video
-TENNIS_TEST_PREFIXES = (
-    'usopen_2015_mens_final_federer_djokovic',
-    'usopen_2019_womens_osaka_gauff',
-    'wimbledon_2019_mens_semifinal_federer_nadal',
-    'wimbledon_2019_womens_final_halep_williams',
-)
+# Tennis holds out four whole matches by video name.
+TENNIS_TEST_PREFIXES = ('usopen_2015_mens_final_federer_djokovic',
+                        'usopen_2019_womens_osaka_gauff',
+                        'wimbledon_2019_mens_semifinal_federer_nadal',
+                        'wimbledon_2019_womens_final_halep_williams')
 
 
 # tennis videos come in whole-court plus per-player camera variants;

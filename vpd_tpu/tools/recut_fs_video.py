@@ -7,19 +7,21 @@ windows compute up front; one process-pool job per source video.
 
 import argparse
 import csv
+import multiprocessing
 import os
-from collections import defaultdict
-from multiprocessing import Pool
 
 from ..datasets.recognition_data import ACTION_DATA_DIR
 from ..utils.video import cut_segment, get_metadata
 
 
 def get_args():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('video_dir', type=str)
-    parser.add_argument('out_dir', type=str)
-    parser.add_argument('--padding', type=int, default=0)
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('video_dir', type=str,
+                        help='directory holding the source .mkv broadcasts')
+    parser.add_argument('out_dir', type=str,
+                        help='output directory for the routine clips')
+    parser.add_argument('--padding', type=int, default=0,
+                        help='seconds added on both sides of each segment')
     return parser.parse_args()
 
 
@@ -34,9 +36,9 @@ def load_segments(segment_file):
         rows = [(r['video'], parse_duration(r['start']),
                  parse_duration(r['end']))
                 for r in csv.DictReader(fp)]
-    segment_dict = defaultdict(list)
+    segment_dict = {}
     for video, start, end in rows:
-        segment_dict[video].append((start, end))
+        segment_dict.setdefault(video, []).append((start, end))
     return segment_dict
 
 
@@ -62,15 +64,18 @@ def main(video_dir, out_dir, padding):
     worker_args = []
     for video_name, spans in segment_dict.items():
         video_file = os.path.join(video_dir, video_name + '.mkv')
-        assert os.path.isfile(video_file), video_file
+        if not os.path.isfile(video_file):
+            raise AssertionError('missing source video: ' + video_file)
         padded = [(start - padding, end + padding) for start, end in spans]
         worker_args.append((video_file, padded, out_dir))
 
     os.makedirs(out_dir, exist_ok=True)
-    with Pool(min(8, len(worker_args))) as p:
-        p.starmap(recut_single, worker_args)
+    pool_size = min(8, len(worker_args))
+    with multiprocessing.Pool(pool_size) as pool:
+        pool.starmap(recut_single, worker_args)
     print('Done!')
 
 
 if __name__ == '__main__':
-    main(**vars(get_args()))
+    _a = get_args()
+    main(_a.video_dir, _a.out_dir, _a.padding)
