@@ -21,6 +21,10 @@ to close the tunnel-H2D question with a mitigation + measurement
 import numpy as np
 
 CODECS = ('raw', 'yuv420')
+# flow-upload codecs (tools/compute_flow.py): y8 ships ONLY the luma
+# plane (1/3 the bytes) — valid when the estimator is luminance-only
+# (the Lucas-Kanade pyramid grays its input as its first op anyway).
+FLOW_CODECS = ('raw', 'yuv420', 'y8')
 
 # BT.601 full-range analog coefficients (the standard JPEG/YCbCr pair).
 _KR, _KG, _KB = 0.299, 0.587, 0.114
@@ -84,6 +88,26 @@ def encode_yuv420_numpy(rgb_u8):
     return np.concatenate(
         [q(y).reshape(b, -1), q(u).reshape(b, -1), q(v).reshape(b, -1)],
         axis=1)
+
+
+def encode_luma(rgb_u8, n_threads=None):
+    """(B, H, W, 3) uint8 RGB -> (B, H*W) uint8 luma plane (Y of yuv420).
+
+    3x smaller than raw RGB; for luminance-only consumers (the LK flow
+    pyramid) the only loss vs raw is Y's rint-to-uint8 quantization
+    (<= 0.5/255 in gray), since those consumers discard chroma anyway.
+    Bit-identical to the first H*W bytes of `encode_yuv420`.
+    """
+    from . import native_loader
+    b, h, w, _ = rgb_u8.shape
+    if h % 2 == 0 and w % 2 == 0 and native_loader.available() and \
+            hasattr(native_loader.get_lib(), 'vpd_yuv420_pack'):
+        packed = native_loader.yuv420_pack(rgb_u8, n_threads=n_threads)
+        return np.ascontiguousarray(packed[:, :h * w])
+    x = rgb_u8.astype(np.float32)
+    y = _KR * x[..., 0] + _KG * x[..., 1] + _KB * x[..., 2]
+    return np.clip(np.rint(y), 0, 255).astype(np.uint8) \
+        .reshape(rgb_u8.shape[0], -1)
 
 
 def decode_yuv420(packed, h, w):

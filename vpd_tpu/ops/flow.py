@@ -140,7 +140,24 @@ def lucas_kanade_flow(img1, img2, levels=3, radius=3, num_iters=3):
     """
     i1 = _gray(img1.astype(jnp.float32) / 255.)
     i2 = _gray(img2.astype(jnp.float32) / 255.)
+    return _lk_pyramid(i1, i2, levels, radius, num_iters)
 
+
+@partial(jax.jit, static_argnames=('levels', 'radius', 'num_iters'))
+def lucas_kanade_flow_gray(y1_u8, y2_u8, levels=3, radius=3,
+                           num_iters=3):
+    """`lucas_kanade_flow` fed uint8 (B, H, W) luma planes directly.
+
+    The estimator is luminance-only, so a luma-plane upload
+    (`data.upload_codec.encode_luma`, 1/3 the bytes of RGB) loses
+    nothing but Y's rint-to-uint8 rounding vs the RGB path.
+    """
+    return _lk_pyramid(y1_u8.astype(jnp.float32) / 255.,
+                       y2_u8.astype(jnp.float32) / 255.,
+                       levels, radius, num_iters)
+
+
+def _lk_pyramid(i1, i2, levels, radius, num_iters):
     pyr1, pyr2 = [i1], [i2]
     for _ in range(levels - 1):
         pyr1.append(_avg_pool2(pyr1[-1]))

@@ -8,6 +8,12 @@ estimators: the batched Lucas-Kanade pyramid (default, no weights
 needed) or the Flax RAFT port (`--model raft --raft_weights <ckpt.pth>`,
 accepts official princeton-vl checkpoints; iters=20 as in
 raft/flow.py:111). Externally-generated RAFT PNGs remain interchangeable.
+
+On upload-bound links (the dev tunnel, PERF.md) `--upload_codec` shrinks
+the host->device frame payload: `yuv420` (half the bytes, lossy chroma,
+any model) or `y8` (luma plane only, 1/3 the bytes, `--model lk` which
+grays its input anyway). Both decode at the top of the jitted flow
+program; default `raw` is bit-exact.
 """
 
 import argparse
@@ -51,6 +57,15 @@ def get_args(argv=None):
                         help='accepted for reference compatibility; the '
                              'correlation volume here is already the '
                              'memory-efficient MXU-matmul form')
+    from ..data.upload_codec import FLOW_CODECS
+    parser.add_argument('--upload_codec', choices=FLOW_CODECS,
+                        default='raw',
+                        help='host->device frame encoding for upload-'
+                             'bound links (PERF.md): yuv420 halves the '
+                             'bytes (lossy chroma, any model); y8 ships '
+                             'only the luma plane (1/3 the bytes; '
+                             '--model lk only, which grays its input '
+                             'anyway)')
     return parser.parse_args(argv)
 
 
@@ -92,7 +107,7 @@ def get_pairs(crop_dir, out_suffix, overwrite):
 def main(path, out_name, clip, img_dim, batch_size, overwrite,
          subtract_median_flag=False, model='lk', raft_weights=None,
          raft_iters=20, small=False, mixed_precision=True,
-         alternate_corr=False):
+         alternate_corr=False, upload_codec='raw'):
     """Pipelined: decode chunk i+1 on a worker thread and PNG-write chunk
     i-1 while the device computes chunk i; flow is quantized to uint8 ON
     DEVICE (ops/flow.py quantize_flow_device), cutting readback 4x —
@@ -116,17 +131,43 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
     pairs = get_pairs(path, out_suffix, overwrite)
     print('{} frame pairs to process'.format(len(pairs)))
     del alternate_corr  # the corr volume is already the matmul form
-    qfn = make_quantized_flow_fn(
-        build_flow_fn(model, raft_weights, raft_iters, small=small,
-                      mixed_precision=mixed_precision),
-        clip=clip,
-        subtract_median=sub_median)
+    if upload_codec == 'y8' and model != 'lk':
+        raise SystemExit(
+            '--upload_codec y8 ships luma only, which is valid for the '
+            'luminance-only --model lk (RAFT consumes RGB; use yuv420)')
+    flow_fn = build_flow_fn(model, raft_weights, raft_iters, small=small,
+                            mixed_precision=mixed_precision)
+    if upload_codec == 'yuv420':
+        from ..data.upload_codec import decode_yuv420
+        rgb_flow_fn = flow_fn
+
+        def flow_fn(prev_p, curr_p):  # packed (B, H*W*3//2) planes
+            return rgb_flow_fn(decode_yuv420(prev_p, img_dim, img_dim),
+                               decode_yuv420(curr_p, img_dim, img_dim))
+    elif upload_codec == 'y8':
+        from ..ops.flow import lucas_kanade_flow_gray
+
+        def flow_fn(prev_p, curr_p):  # packed (B, H*W) luma planes
+            b = prev_p.shape[0]
+            return lucas_kanade_flow_gray(
+                prev_p.reshape(b, img_dim, img_dim),
+                curr_p.reshape(b, img_dim, img_dim))
+    qfn = make_quantized_flow_fn(flow_fn, clip=clip,
+                                 subtract_median=sub_median)
 
     import cv2
 
     from ..core.pipeline import run_pipelined
 
     png_compression = [cv2.IMWRITE_PNG_COMPRESSION, 9]
+
+    if upload_codec == 'yuv420':
+        from ..data.upload_codec import encode_yuv420 as encode_upload
+    elif upload_codec == 'y8':
+        from ..data.upload_codec import encode_luma as encode_upload
+    else:
+        def encode_upload(rgb):
+            return rgb
 
     def decode_chunk(chunk):
         prev = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
@@ -140,7 +181,8 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
         # flow batch. Single-device path only runs here.
         import jax
 
-        return jax.device_put(prev), jax.device_put(curr)
+        return (jax.device_put(encode_upload(prev)),
+                jax.device_put(encode_upload(curr)))
 
     def compute(host):
         return qfn(*host)
@@ -165,4 +207,4 @@ if __name__ == '__main__':
          subtract_median_flag=a.subtract_median, model=a.model,
          raft_weights=a.raft_weights, raft_iters=a.raft_iters,
          small=a.small, mixed_precision=a.mixed_precision,
-         alternate_corr=a.alternate_corr)
+         alternate_corr=a.alternate_corr, upload_codec=a.upload_codec)
