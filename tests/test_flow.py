@@ -221,3 +221,39 @@ def test_compute_flow_y8_requires_lk(tmp_path):
     from vpd_tpu.tools.compute_flow import get_args
     a = get_args(['crops', '--out_name', 'f', '--upload_codec', 'y8'])
     assert a.upload_codec == 'y8'
+
+
+def test_compute_flow_mesh_matches_single_device(tmp_path):
+    """--data_parallel batch fan-out writes the same quantized PNGs as
+    the single-device path (8-device CPU mesh via conftest)."""
+    import cv2
+
+    from vpd_tpu.core.mesh import get_mesh
+    from vpd_tpu.tools import compute_flow
+
+    vid = tmp_path / 'v'
+    vid.mkdir()
+    img1, img2 = _smooth_color_scene(2, 1, size=32, seed=11)
+    for frame in range(12):
+        cv2.imwrite(str(vid / '{}.prev.png'.format(frame)),
+                    np.roll(img1[0], frame, axis=1))
+        cv2.imwrite(str(vid / '{}.png'.format(frame)),
+                    np.roll(img2[0], frame, axis=1))
+    compute_flow.main(str(tmp_path), 'sd', clip=20, img_dim=32,
+                      batch_size=8, overwrite=False)
+    compute_flow.main(str(tmp_path), 'dp', clip=20, img_dim=32,
+                      batch_size=8, overwrite=False, mesh=get_mesh())
+    for frame in range(12):
+        sd = cv2.imread(str(vid / '{}.sd.png'.format(frame)))
+        dp = cv2.imread(str(vid / '{}.dp.png'.format(frame)))
+        assert sd is not None and dp is not None
+        d = np.abs(sd.astype(int) - dp.astype(int))
+        assert d.max() <= 1, d.max()  # float-assoc under sharding only
+
+    with __import__('pytest').raises(SystemExit, match='divisible'):
+        compute_flow.main(str(tmp_path), 'dp2', clip=20, img_dim=32,
+                          batch_size=9, overwrite=False, mesh=get_mesh())
+
+    from vpd_tpu.tools.compute_flow import get_args
+    assert get_args(['crops', '--out_name', 'f',
+                     '--data_parallel']).data_parallel is True

@@ -29,11 +29,16 @@ def get_args():
                              'host->device upload and decode on device '
                              '(lossy chroma subsampling; for upload-'
                              'bound links, see data/upload_codec.py)')
+    parser.add_argument('--data_parallel', action='store_true',
+                        help='shard each batch over all local devices '
+                             '(inference fan-out, SURVEY.md §2.8; the '
+                             'embed is batch-parallel)')
     return parser.parse_args()
 
 
 def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
-         flow_img, batch_size, crop_shards=None, upload_codec='raw'):
+         flow_img, batch_size, crop_shards=None, upload_codec='raw',
+         data_parallel=False):
     if dataset == 'tennis':
         crop_dir = paths.TENNIS_CROP_DIR
         videos, tasks = scan_tennis_crop_dir(
@@ -56,9 +61,19 @@ def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
         from ..data.shards import ShardReader
         shard_reader = ShardReader(crop_shards, crop_root=crop_dir)
 
+    mesh = None
+    if data_parallel:
+        from ..core.mesh import get_mesh
+        mesh = get_mesh()
+        if batch_size % mesh.devices.size != 0:
+            raise SystemExit(
+                '--batch_size {} (after variant scaling) must be '
+                'divisible by the {}-device mesh'.format(
+                    batch_size, mesh.devices.size))
+
     apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=model_epoch,
               flow_img_name=flow_img, jitter=jitter, no_flip=no_flip,
-              batch_size=batch_size, shard_reader=shard_reader,
+              batch_size=batch_size, shard_reader=shard_reader, mesh=mesh,
               upload_codec=(None if upload_codec == 'raw'
                             else upload_codec))
     print('Done!')

@@ -57,6 +57,10 @@ def get_args(argv=None):
                         help='accepted for reference compatibility; the '
                              'correlation volume here is already the '
                              'memory-efficient MXU-matmul form')
+    parser.add_argument('--data_parallel', action='store_true',
+                        help='shard each batch over all local devices '
+                             '(inference fan-out; flow is batch-'
+                             'parallel, no collectives)')
     from ..data.upload_codec import FLOW_CODECS
     parser.add_argument('--upload_codec', choices=FLOW_CODECS,
                         default='raw',
@@ -107,7 +111,7 @@ def get_pairs(crop_dir, out_suffix, overwrite):
 def main(path, out_name, clip, img_dim, batch_size, overwrite,
          subtract_median_flag=False, model='lk', raft_weights=None,
          raft_iters=20, small=False, mixed_precision=True,
-         alternate_corr=False, upload_codec='raw'):
+         alternate_corr=False, upload_codec='raw', mesh=None):
     """Pipelined: decode chunk i+1 on a worker thread and PNG-write chunk
     i-1 while the device computes chunk i; flow is quantized to uint8 ON
     DEVICE (ops/flow.py quantize_flow_device), cutting readback 4x —
@@ -135,6 +139,11 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
         raise SystemExit(
             '--upload_codec y8 ships luma only, which is valid for the '
             'luminance-only --model lk (RAFT consumes RGB; use yuv420)')
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise SystemExit(
+            '--batch_size {} must be divisible by the {}-device mesh '
+            'for the batch-dim fan-out'.format(batch_size,
+                                               mesh.devices.size))
     flow_fn = build_flow_fn(model, raft_weights, raft_iters, small=small,
                             mixed_precision=mixed_precision)
     if upload_codec == 'yuv420':
@@ -176,15 +185,26 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
                           rgb_out=prev)
         decode_crop_batch([p + '.png' for p in chunk], img_dim,
                           rgb_out=curr)
+        prev, curr = encode_upload(prev), encode_upload(curr)
+        if mesh is not None:
+            # Multi-device placement stays on the MAIN thread: a sharded
+            # device_put racing an in-flight sharded program deadlocks
+            # the CPU backend's collective rendezvous (core/mesh.py).
+            return prev, curr
         # H2D starts on the decode-ahead thread so the upload (the e2e
         # bottleneck through the relay, PERF.md) overlaps the in-flight
         # flow batch. Single-device path only runs here.
         import jax
 
-        return (jax.device_put(encode_upload(prev)),
-                jax.device_put(encode_upload(curr)))
+        return jax.device_put(prev), jax.device_put(curr)
 
     def compute(host):
+        if mesh is not None:
+            # batch-dim fan-out over the mesh: flow is embarrassingly
+            # batch-parallel, so GSPMD compiles qfn with zero collectives
+            from ..core.mesh import shard_batch
+
+            host = shard_batch(host, mesh)
         return qfn(*host)
 
     def write_chunk(chunk, dev_out):
@@ -203,8 +223,13 @@ def main(path, out_name, clip, img_dim, batch_size, overwrite,
 
 if __name__ == '__main__':
     a = get_args()
+    mesh = None
+    if a.data_parallel:
+        from ..core.mesh import get_mesh
+        mesh = get_mesh()
     main(a.path, a.out_name, a.clip, a.img_dim, a.batch_size, a.overwrite,
          subtract_median_flag=a.subtract_median, model=a.model,
          raft_weights=a.raft_weights, raft_iters=a.raft_iters,
          small=a.small, mixed_precision=a.mixed_precision,
-         alternate_corr=a.alternate_corr, upload_codec=a.upload_codec)
+         alternate_corr=a.alternate_corr, upload_codec=a.upload_codec,
+         mesh=mesh)
