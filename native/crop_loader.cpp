@@ -208,4 +208,44 @@ int64_t vpd_yuv420_pack(const uint8_t* rgb, int64_t n, int32_t h,
   return 0;
 }
 
+// Luma-only variant of vpd_yuv420_pack: (n, h, w, 3) uint8 RGB ->
+// (n, h*w) uint8 Y planes (1/3 the bytes; the y8 flow-upload codec,
+// whose consumer grays its input anyway). Bit-exact with the Y plane
+// of vpd_yuv420_pack and encode_yuv420_numpy; no even-dim requirement.
+int64_t vpd_luma_pack(const uint8_t* rgb, int64_t n, int32_t h,
+                      int32_t w, int32_t n_threads, uint8_t* out) {
+  const size_t in_sz = static_cast<size_t>(h) * w * 3;
+  const size_t n_y = static_cast<size_t>(h) * w;
+  const float kr = 0.299f, kg = 0.587f, kb = 0.114f;
+  auto q = [](float z) -> uint8_t {
+    z = nearbyintf(z);
+    if (z < 0.f) z = 0.f;
+    if (z > 255.f) z = 255.f;
+    return static_cast<uint8_t>(z);
+  };
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* src = rgb + i * in_sz;
+      uint8_t* yp = out + i * n_y;
+      for (size_t px = 0; px < n_y; ++px) {
+        const uint8_t* p = src + px * 3;
+        yp[px] = q(kr * p[0] + kg * p[1] + kb * p[2]);
+      }
+    }
+  };
+  const int tn = n_threads > 0 ? n_threads : 1;
+  if (tn == 1 || n <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(tn);
+    for (int t = 0; t < tn; ++t) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+  }
+  return 0;
+}
+
 }  // extern "C"

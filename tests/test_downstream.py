@@ -74,6 +74,15 @@ def test_ap_perfect_and_worst():
     assert 0 < ap < 1
 
 
+def test_ap_empty_curve_degenerate():
+    """Zero proposals for a class: the bare envelope, AP 0 (not a
+    crash) — the graceful degenerate direct callers relied on."""
+    from vpd_tpu.tasks.eval import compute_interpolated_precision
+    assert compute_ap([], []) == 0.0
+    ipc, irc = compute_interpolated_precision([], [])
+    assert irc == [0.0, 1.0] and ipc == [1.0, 0.0]
+
+
 def test_evaluate_proposals_perfect_detection():
     # one video, two GT intervals, scores exactly covering them
     scores = np.zeros(100)

@@ -225,3 +225,28 @@ def test_apply_vpd_codec_rejects_mismatched_embed_fn(tmp_path):
               log=lambda *a: None, prepared=prepared, embed_fn=embed,
               upload_codec='yuv420')
     assert os.path.exists(os.path.join(out, 'v0.emb.pkl'))
+
+
+def test_native_luma_packer_matches_spec_bitexact():
+    """vpd_luma_pack == the Y plane of the yuv420 spec, bit for bit,
+    including odd spatial dims (which yuv420 itself rejects)."""
+    from vpd_tpu.data import native_loader
+
+    if not (native_loader.available() and hasattr(
+            native_loader.get_lib(), 'vpd_luma_pack')):
+        pytest.skip('native luma packer unavailable')
+    from vpd_tpu.data.upload_codec import encode_yuv420_numpy
+
+    rgb = np.random.default_rng(9).integers(
+        0, 256, (16, IMG, IMG, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        native_loader.luma_pack(rgb),
+        encode_yuv420_numpy(rgb)[:, :IMG * IMG])
+    rgb_odd = np.random.default_rng(10).integers(
+        0, 256, (3, 31, 45, 3), dtype=np.uint8)
+    x = rgb_odd.astype(np.float32)
+    spec = np.clip(np.rint(
+        np.float32(0.299) * x[..., 0] + np.float32(0.587) * x[..., 1]
+        + np.float32(0.114) * x[..., 2]), 0, 255) \
+        .astype(np.uint8).reshape(3, -1)
+    np.testing.assert_array_equal(native_loader.luma_pack(rgb_odd), spec)

@@ -99,6 +99,38 @@ def shard_batch(batch, mesh, axis_name=DATA_AXIS):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def member_axis_placement(mesh, members, axis_name=DATA_AXIS):
+    """Stacked-member fan-out plumbing (fused sweeps/ensembles).
+
+    Fused trainers stack M independent members (trials, folds) on a
+    leading axis and shard it over the mesh's data axis. This helper
+    owns the shared rules: a mesh is usable only when it is larger than
+    one device AND carries the axis; the member list is padded to a
+    multiple of the axis size with copies of member 0 (the pad members
+    train but are never read back).
+
+    Returns ``(mesh, members, put_m, put_r)``: the normalized mesh (None
+    when unusable — callers then run single-device), the padded member
+    list, and pytree placement fns (`put_m` shards leaf dim 0 over the
+    axis; `put_r` replicates; both plain device_put without a mesh).
+    """
+    mesh = mesh if (mesh is not None and mesh.size > 1
+                    and axis_name in mesh.shape) else None
+    members = list(members)
+    if mesh is None:
+        put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            jax.device_put, t)
+        return None, members, put, put
+    members += [members[0]] * ((-len(members)) % mesh.shape[axis_name])
+    shard_m = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    put_m = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, shard_m), t)
+    put_r = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, repl), t)
+    return mesh, members, put_m, put_r
+
+
 def step_sync_needed(mesh):
     """True when per-step blocking is required for correctness.
 

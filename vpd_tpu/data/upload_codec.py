@@ -99,11 +99,9 @@ def encode_luma(rgb_u8, n_threads=None):
     Bit-identical to the first H*W bytes of `encode_yuv420`.
     """
     from . import native_loader
-    b, h, w, _ = rgb_u8.shape
-    if h % 2 == 0 and w % 2 == 0 and native_loader.available() and \
-            hasattr(native_loader.get_lib(), 'vpd_yuv420_pack'):
-        packed = native_loader.yuv420_pack(rgb_u8, n_threads=n_threads)
-        return np.ascontiguousarray(packed[:, :h * w])
+    if native_loader.available() and hasattr(
+            native_loader.get_lib(), 'vpd_luma_pack'):
+        return native_loader.luma_pack(rgb_u8, n_threads=n_threads)
     x = rgb_u8.astype(np.float32)
     y = _KR * x[..., 0] + _KG * x[..., 1] + _KB * x[..., 2]
     return np.clip(np.rint(y), 0, 255).astype(np.uint8) \

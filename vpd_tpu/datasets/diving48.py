@@ -13,6 +13,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..core.io import load_json, load_pickle
+from .load import normalize_rows
 from .subsample import subsample_rows
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)), 'data',
@@ -32,11 +33,6 @@ class Category(NamedTuple):
 def load_categories(path=DIVING48_CATEGORY_FILE):
     return {i: Category(' '.join(stages), stages)
             for i, stages in enumerate(load_json(path))}
-
-
-def _normalize_rows(x):
-    d = np.linalg.norm(x, axis=1, keepdims=True)
-    return x / np.where(d < 1e-12, 1.0, d)
 
 
 def _load_window_embs(emb_path, lo, hi, rate):
@@ -69,7 +65,7 @@ def load_labels_and_embeddings(label_file, meta_dict=None, emb_dir=None,
                 if np.isnan(embs).any():
                     embs = np.nan_to_num(embs, copy=False)
                 if norm:
-                    embs = _normalize_rows(embs)
+                    embs = normalize_rows(embs)
         labels[video_id] = action['label']
         data[video_id] = (window, embs)
     return labels, data

@@ -13,6 +13,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..core.io import load_pickle
+from .load import normalize_rows
 from .subsample import subsample_rows
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)), 'data',
@@ -68,11 +69,6 @@ def _action_window(timestamps, pre_seconds, min_seconds, max_seconds, fps):
     return math.floor(start * fps), math.ceil(end * fps)
 
 
-def _normalize_rows(x):
-    d = np.linalg.norm(x, axis=1, keepdims=True)
-    return x / np.where(d < 1e-12, 1.0, d)
-
-
 def _load_window_embs(emb_path, lo, hi, rate, interp_skipped):
     """Stack rows with lo <= frame <= hi, then fps-subsample them."""
     rows = [emb for frame_num, emb, _ in load_pickle(emb_path)
@@ -119,6 +115,6 @@ def load_actions(annotations, labels, meta_dict, emb_dir=None, norm=False,
                 embs = _load_window_embs(emb_path, start_frame, end_frame,
                                          rate, interp_skipped)
                 if embs is not None and norm:
-                    embs = _normalize_rows(embs)
+                    embs = normalize_rows(embs)
         result[full_action_id] = ((start_frame, end_frame), embs)
     return result

@@ -38,6 +38,11 @@ def compute_interpolated_precision(precision, recall):
     """
     prec = np.asarray(precision, dtype=float)
     rec = np.asarray(recall, dtype=float)
+    if len(rec) == 0:
+        # no proposals at all: the bare bracketing envelope (AP 0) —
+        # the in-repo caller guards this, but direct callers got this
+        # graceful degenerate from the pre-rewrite implementation
+        return [1.0, 0.0], [0.0, 1.0]
     # max precision over entries at index >= j
     suffmax = np.maximum.accumulate(prec[::-1])[::-1]
 

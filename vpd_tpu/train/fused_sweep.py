@@ -34,7 +34,8 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..core.mesh import DATA_AXIS, step_sync_needed
+from ..core.mesh import (DATA_AXIS, member_axis_placement,
+                         step_sync_needed)
 from ..core.schedule import CyclicCosineRestarts
 from .classifier import (_shared_tx, bucket_len, make_model,
                          pad_sequences)
@@ -84,25 +85,13 @@ class FusedSweepTrainer:
                  seed=0, bucket_floor=None, epochs_per_dispatch=None,
                  mesh=None, log=None, **kwargs):
         real_m = len(member_rows)
-        mesh = mesh if (mesh is not None and mesh.size > 1
-                        and DATA_AXIS in mesh.shape) else None
+        mesh, member_rows, put_m, put_r = member_axis_placement(
+            mesh, member_rows)
         if mesh is not None:
-            n_shards = mesh.shape[DATA_AXIS]
-            member_rows = list(member_rows) + \
-                [member_rows[0]] * ((-real_m) % n_shards)
-        if mesh is not None:
-            shard_m = NamedSharding(mesh, P(DATA_AXIS))
-            repl = NamedSharding(mesh, P())
             # schedules carry the member axis at dim 2
             shard_sched = NamedSharding(mesh, P(None, None, DATA_AXIS))
-            put_m = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                lambda x: jax.device_put(x, shard_m), t)
-            put_r = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                lambda x: jax.device_put(x, repl), t)
             put_sched = lambda x: jax.device_put(x, shard_sched)  # noqa: E731
         else:
-            put_m = put_r = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                jax.device_put, t)
             put_sched = lambda x: x  # noqa: E731 - jit uploads it
 
         y_pool = np.asarray(y_pool, dtype=np.int32)

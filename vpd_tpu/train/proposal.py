@@ -205,23 +205,11 @@ class FusedEnsembleTrainer:
                  num_epochs=NUM_TRAIN_EPOCHS, min_epochs=MIN_TRAIN_EPOCHS,
                  early_term_acc=1, early_term_no_val_improvement=50,
                  seq_len=250, samples_per_epoch=5000, mesh=None, **kwargs):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..core.mesh import DATA_AXIS, step_sync_needed
+        from ..core.mesh import member_axis_placement, step_sync_needed
         from ..core.metrics import fetch_metrics
 
         real_m = len(members)
-        mesh = mesh if (mesh is not None and mesh.size > 1
-                        and DATA_AXIS in mesh.shape) else None
-        if mesh is not None:
-            members = list(members) + \
-                [members[0]] * ((-real_m) % mesh.shape[DATA_AXIS])
-            shard_m = NamedSharding(mesh, P(DATA_AXIS))
-            put_m = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                lambda z: jax.device_put(z, shard_m), t)
-        else:
-            put_m = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                jax.device_put, t)
+        mesh, members, put_m, _ = member_axis_placement(mesh, members)
         m = len(members)
 
         self.model = ProposalSeq(arch_type, hidden_dim, **kwargs)
