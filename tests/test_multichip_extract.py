@@ -66,3 +66,41 @@ def test_seq_head_load_weights(tmp_path):
                              load_weights=path)
     np.testing.assert_allclose(loaded.predict(X[0], full=True), pred_ref,
                                atol=1e-6)
+
+
+def test_apply_vpd_cli_data_parallel(tmp_path, monkeypatch):
+    """The tool-level --data_parallel flag: builds the all-devices mesh,
+    guards divisibility, writes the same .emb.pkl files."""
+    import pytest
+
+    from test_vpd import setup_dataset, IMG
+    from vpd_tpu.data.crops import CropBatchSource, train_val_split
+    from vpd_tpu.tools import apply_vpd as tool
+    from vpd_tpu.tools import paths
+    from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path)
+    src = CropBatchSource(train_val_split(samples)[0], crop_dir, IMG,
+                          batch_size=8, target_len=8)
+    config = default_config('fs', emb_dim, num_epochs=1, batch_size=8,
+                            img_dim=IMG, encoder_arch='resnet18',
+                            checkpoint_frequency=1)
+    trainer = VPDTrainer(src, None, config, save_dir=str(tmp_path / 'm'),
+                         dtype=jnp.float32)
+    trainer.save_config()
+    trainer.fit(log=lambda *a: None)
+
+    monkeypatch.setattr(paths, 'FS_CROP_DIR', crop_dir)
+    tool.main(str(tmp_path / 'm'), 'fs', str(tmp_path / 'o_dp'),
+              model_epoch=1, jitter=0, no_flip=False, flow_img=None,
+              batch_size=16, data_parallel=True)
+    vids = [d for d in os.listdir(crop_dir)
+            if os.path.isdir(os.path.join(crop_dir, d))]
+    assert vids
+    for vid in vids:
+        assert (tmp_path / 'o_dp' / f'{vid}.emb.pkl').exists()
+
+    with pytest.raises(SystemExit, match='divisible'):
+        tool.main(str(tmp_path / 'm'), 'fs', str(tmp_path / 'o_dp2'),
+                  model_epoch=1, jitter=0, no_flip=False, flow_img=None,
+                  batch_size=9, data_parallel=True)
