@@ -188,7 +188,7 @@ def test_fused_ensemble_matches_sequential():
 
     X, y = _ensemble_data()
     kw = dict(_ENSEMBLE_KW, ensemble_size=2, splits=3, seed=5)
-    seq = EnsembleProposal('gru', X, y, **kw)
+    seq = EnsembleProposal('gru', X, y, fused=False, **kw)
     fused = EnsembleProposal('gru', X, y, fused=True, **kw)
     _assert_tree_close(fused._stacked_params, seq._stacked_params)
     _assert_tree_close(fused._stacked_stats, seq._stacked_stats)
@@ -207,7 +207,7 @@ def test_fused_ensemble_early_termination_matches():
     kw = dict(_ENSEMBLE_KW, num_epochs=6,
               early_term_no_val_improvement=1, ensemble_size=2,
               splits=2, seed=3)
-    seq = EnsembleProposal('gru', X, y, **kw)
+    seq = EnsembleProposal('gru', X, y, fused=False, **kw)
     fused = EnsembleProposal('gru', X, y, fused=True, **kw)
     _assert_tree_close(fused._stacked_params, seq._stacked_params)
 

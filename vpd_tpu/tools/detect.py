@@ -36,10 +36,14 @@ def get_args():
     parser.add_argument('--hidden_dim', type=int, default=128)
     parser.add_argument('--batch_size', type=int)
     parser.add_argument('--fused_ensemble', action='store_true',
-                        help='Train all KFold ensemble members as one '
-                             'vmapped device program (sharded over the '
-                             'data mesh when >1 device; same results as '
-                             'sequential fold training)')
+                        help='accepted for compatibility: fused KFold '
+                             'training (one vmapped device program, '
+                             'sharded over the data mesh when >1 '
+                             'device) is now the default')
+    parser.add_argument('--sequential_ensemble', action='store_true',
+                        help='train KFold ensemble members one-by-one '
+                             '(the reference-shaped loop; same results '
+                             'as fused, k x more dispatches)')
     return parser.parse_args()
 
 
@@ -149,7 +153,7 @@ def load_fx_labels(config, test_frac=0.25, seed=0,
 
 def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
          tennis_window, norm, hidden_dim, batch_size, _all=False,
-         fused_ensemble=False):
+         fused_ensemble=False, sequential_ensemble=False):
     config = DATA_CONFIGS[dataset]
     emb_dict = load_embs(emb_dir, norm)
 
@@ -174,13 +178,15 @@ def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
             'train.localize.{}.txt'.format(trial))
         return load_text(path)
 
+    del fused_ensemble  # fused is the default now; flag kept for compat
     model_kwargs = {}
-    if fused_ensemble:
+    if sequential_ensemble:
+        model_kwargs['fused'] = False
+    else:
         import jax
 
         from ..core.mesh import get_mesh
 
-        model_kwargs['fused'] = True
         if len(jax.devices()) > 1:
             model_kwargs['mesh'] = get_mesh()
     trial_results, thresholds = run_localization(

@@ -540,15 +540,17 @@ def get_proposals(scores, activation_thresh, min_prop_len=3,
 class EnsembleProposal:
     """KFold(5) ensemble (`util/proposal.py:212-256`).
 
-    `fused=True` trains all folds as one vmapped per-step device program
-    (`FusedEnsembleTrainer`) instead of sequentially — k times fewer
-    dispatches per localization trial, same member-by-member results
-    (equality tested in tests/test_downstream.py); `mesh` additionally
-    shards the member axis across the data mesh.
+    `fused=True` (the default) trains all folds as one vmapped per-step
+    device program (`FusedEnsembleTrainer`) instead of sequentially — k
+    times fewer dispatches and one compile per localization trial, same
+    member-by-member results (equality tested in
+    tests/test_downstream.py); `mesh` additionally shards the member
+    axis across the data mesh. `fused=False` keeps the reference-shaped
+    sequential loop (`--sequential_ensemble` on the CLI).
     """
 
     def __init__(self, arch_type, X, y, hidden_dim, ensemble_size=3,
-                 splits=5, custom_split=None, seed=0, fused=False,
+                 splits=5, custom_split=None, seed=0, fused=True,
                  mesh=None, **kwargs):
         if custom_split is None:
             custom_split = np.arange(len(X))
