@@ -49,9 +49,16 @@ def get_args():
     parser.add_argument('-w', '--load_weights', type=str,
                         help='Load a pretrained head checkpoint')
     parser.add_argument('--fused_sweep', action='store_true',
-                        help='Train all trials of a few-shot size as one '
-                             'vmapped device program (sequence heads only; '
-                             'same results as sequential trials)')
+                        help='accepted for compatibility: the fused '
+                             'sweep (all trials of a few-shot size as '
+                             'one vmapped device program, sequence '
+                             'heads only) is now the default; sizes '
+                             'that are not fusable fall back to '
+                             'sequential trials automatically')
+    parser.add_argument('--sequential_sweep', action='store_true',
+                        help='train few-shot trials one-by-one (the '
+                             'reference-shaped loop; same results as '
+                             'the fused sweep, more dispatches)')
     return parser.parse_args()
 
 
@@ -88,7 +95,8 @@ def load_diving48_data(emb_dir, norm, target_fps, use_v1):
 def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
          hidden_dim, attn, target_fps, num_epochs, val_freq, n_trials,
          no_test_flip, retrieve, device_retrieval=False,
-         device_knn=False, load_weights=None, fused_sweep=False):
+         device_knn=False, load_weights=None, fused_sweep=False,
+         sequential_sweep=False):
     val_embs = val_labels = None
     if dataset.startswith('diving48'):
         (categories, train_embs, train_labels, test_embs,
@@ -140,6 +148,8 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
         if val_embs is None:
             val_embs, val_labels = test_embs, test_labels
         train_embs = {a: b for a, b in train_embs.items() if b is not None}
+        del fused_sweep  # fused is the default now; flag kept for compat
+        fused_sweep = not sequential_sweep
         mesh = None
         if fused_sweep:
             import jax
