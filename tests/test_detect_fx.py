@@ -123,3 +123,23 @@ def test_detect_cli_fx_end_to_end(monkeypatch, tmp_path):
     ap = np.load(out_dir / 'ap_table.npy')
     assert ap.shape == (9, 9)  # 9 thresholds x 9 tIoUs (non-tennis)
     assert np.isfinite(ap).all()
+
+
+def test_localization_schedule_matches_reference():
+    """ProposalModel's localization epoch overrides are the reference's
+    (detect.py:116-117 forces 200/25 over util/proposal.py's 25/10)."""
+    import os
+    import re
+
+    import pytest
+
+    ref_path = '/root/reference/detect.py'
+    if not os.path.isfile(ref_path):
+        pytest.skip('reference tree not available')
+    with open(ref_path) as fp:
+        ref = dict(re.findall(
+            r'(MIN_TRAIN_EPOCHS|NUM_TRAIN_EPOCHS) = (\d+)', fp.read()))
+    from vpd_tpu.tasks.detect import ProposalModel
+
+    assert ProposalModel.NUM_TRAIN_EPOCHS == int(ref['NUM_TRAIN_EPOCHS'])
+    assert ProposalModel.MIN_TRAIN_EPOCHS == int(ref['MIN_TRAIN_EPOCHS'])

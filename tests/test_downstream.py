@@ -309,6 +309,37 @@ def test_run_action_retrieval():
     for h in precs:
         np.testing.assert_allclose(dev_precs[h], precs[h], atol=1e-6)
 
+    # embedding-less actions must be invisible to BOTH rankers: the
+    # device path once ranked inf-padded None-emb columns as neighbors
+    embs2 = dict(embs)
+    for i, a in enumerate(sorted(embs2)):
+        if i % 3 == 0:
+            embs2[a] = None
+    h_rates, h_precs = run_action_retrieval(embs2, labels, [1, 3],
+                                            log=lambda *a: None)
+    d_rates, d_precs = run_action_retrieval(
+        embs2, labels, [1, 3], device=True, log=lambda *a: None)
+    assert d_rates == h_rates
+    for h in h_precs:
+        np.testing.assert_allclose(d_precs[h], h_precs[h], atol=1e-6)
+
+    # discriminating case: fewer valid targets than max_hit, and the
+    # first None action in index order shares the query's label — the
+    # pre-fix device ranker returned it as a phantom rank-2 neighbor
+    # (hit@3) that the host ranker can never produce
+    rng = np.random.default_rng(3)
+    embs3 = {'a0': rng.normal(size=(6, 4)).astype(np.float32),
+             'a1': None, 'a2': None,
+             'b0': rng.normal(size=(6, 4)).astype(np.float32),
+             'b1': None}
+    labels3 = {'a0': 0, 'a1': 0, 'a2': 0, 'b0': 1, 'b1': 1}
+    h3, hp3 = run_action_retrieval(embs3, labels3, [3],
+                                   log=lambda *a: None)
+    d3, dp3 = run_action_retrieval(embs3, labels3, [3], device=True,
+                                   log=lambda *a: None)
+    assert d3 == h3
+    np.testing.assert_allclose(dp3[3], hp3[3], atol=1e-6)
+
 
 def test_sample_embeddings_per_class():
     embs, labels = _recognition_data(per_class=6)

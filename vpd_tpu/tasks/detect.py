@@ -95,8 +95,10 @@ class ProposalModel:
     entries exist only for flip-column videos, as in the reference).
     """
 
-    NUM_TRAIN_EPOCHS = 25
-    MIN_TRAIN_EPOCHS = 10
+    # localization schedule overrides (`detect.py:116-117`): 200/25, NOT
+    # the base proposal trainer's 25/10 (`util/proposal.py`)
+    NUM_TRAIN_EPOCHS = 200
+    MIN_TRAIN_EPOCHS = 25
 
     def __init__(self, arch_type, emb_dict, train_labels, hidden_dim,
                  ensemble_size, splits=5, **kwargs):
@@ -120,6 +122,12 @@ class ProposalModel:
             else:
                 X.append(vx)
                 y.append(vy)
+        if custom_split is not None:
+            # mixed 2D/3D embedding dicts would leave custom_split short
+            # and mis-group folds downstream; fail here like the
+            # reference (`detect.py:147-148`)
+            assert len(custom_split) == len(X), \
+                (len(custom_split), len(X))
 
         if len(X) < ensemble_size:
             ensemble_size = splits = len(X)

@@ -176,9 +176,30 @@ class DeviceKnnIndex:
         self.d1 = batch_distances_tpu(test_arrays, train_arrays,
                                       max_len=max_len,
                                       step_pattern='symmetricP2')
-        self.d2 = batch_distances_tpu(test_arrays, train_arrays,
-                                      max_len=max_len,
-                                      step_pattern='symmetric2')
+        # the symmetric2 fallback matrix is consulted only when some
+        # action's whole symmetricP2 submatrix is infeasible — skip the
+        # second full device sweep entirely in the common case
+        self._d2 = None
+        if np.isinf(self.d1).any():
+            self._d2_args = (test_arrays, train_arrays, max_len)
+        else:
+            self._d2_args = None
+
+    @property
+    def d2(self):
+        if self._d2 is None:
+            if self._d2_args is None:
+                # unreachable via predict_action (its all-inf branch
+                # implies d1 has inf entries); loud for direct readers
+                raise RuntimeError(
+                    'd2 requested but d1 has no infeasible entries')
+            from .neighbors import batch_distances_tpu
+
+            test_arrays, train_arrays, max_len = self._d2_args
+            self._d2 = batch_distances_tpu(test_arrays, train_arrays,
+                                           max_len=max_len,
+                                           step_pattern='symmetric2')
+        return self._d2
 
 
 class DeviceKnnModel:
@@ -207,7 +228,11 @@ class DeviceKnnModel:
         knn = KNearestNeighbors(
             list(range(len(self.cols))), self.y,
             lambda r, c: float(dist[r, c]), k=self.k)
-        pred, i = knn.predict_n(*range(len(rows)))
+        try:
+            pred, i = knn.predict_n(*range(len(rows)))
+        except Exception as e:  # most-common fallback (KnnModel parity)
+            print(e)
+            return self.top_class, None
         if i is None:
             return self.top_class, None
         return pred, self.index.train_entries[self.cols[i]][0]
@@ -399,7 +424,10 @@ def run_action_recognition(
                     'sequence', 'actual', 'actual_name',
                     'pred (acc={})'.format(acc), 'pred_name', 'neighbor'])
                 writer.writerows(results)
-            if hasattr(model, 'save_model') and algorithm in SEQ_MODELS:
+            if hasattr(model, 'save_model') and algorithm in SEQ_MODELS \
+                    and load_weights is None:
+                # with pretrained weights the trial model is a copy of
+                # the input; don't re-serialize it (`recognize.py:511`)
                 model.save_model(os.path.join(
                     out_dir, '{}.model.ckpt'.format(trial_str)))
         return acc
@@ -487,9 +515,16 @@ def run_action_retrieval(emb_dict, label_dict, hit_t, queryset=None,
             for a, qi in enumerate(valid_q):
                 dist[qi, valid_t] = sub[a]
 
+        valid_t_arr = np.asarray(valid_t, dtype=np.int64)
+
         def find_neighbors(q_idx, embs_q, k):
-            order = np.argsort(dist[q_idx], kind='stable')[:k]
-            return [(int(r), float(dist[q_idx, r])) for r in order]
+            # rank only valid targets: the host Neighbors.find never
+            # considers embedding-less actions, and returns FEWER than k
+            # neighbors when fewer valid targets exist — inf-padded
+            # invalid columns must not leak into hit@k/prec@k
+            row = dist[q_idx, valid_t_arr]
+            order = np.argsort(row, kind='stable')[:k]
+            return [(int(valid_t_arr[r]), float(row[r])) for r in order]
     else:
         neighbors = Neighbors(all_embs, build_dtw_distance_fn())
 
