@@ -224,3 +224,31 @@ def test_fetch_metrics_single_readback_roundtrip():
     assert float(out[1]['a']) == -2.0
     np.testing.assert_allclose(np.asarray(out[1]['b']), np.ones(4))
     assert fetch_metrics([]) == []
+
+
+def test_prefetcher_surfaces_worker_errors():
+    """A dead prefetch worker must raise in next(), not hang forever."""
+    import pytest
+
+    from vpd_tpu.data.crops import Prefetcher
+
+    class Source:
+        num_batches = 8
+
+        def __init__(self):
+            self.n = 0
+
+        def next_batch(self):
+            self.n += 1
+            if self.n >= 2:
+                raise ValueError('corrupt crop')
+            return self.n
+
+    p = Prefetcher(Source(), depth=1)
+    try:
+        assert p.next() == 1
+        with pytest.raises(RuntimeError, match='prefetch worker died'):
+            # bounded loop: the old behavior blocked forever in q.get()
+            p.next()
+    finally:
+        p.close()

@@ -313,11 +313,7 @@ def train_augment_batch(key, rgb_u8, mean, std, flow_u8=None, mask_u8=None,
         x = jax.lax.cond(fl, do_flip, lambda z: z, x)
         return random_resized_crop(x, kc, out_size)
 
-    return jax.vmap(one)(
-        rgb01,
-        flow_u8 if flow_u8 is not None else None,
-        mask_u8 if mask_u8 is not None else None,
-        flip, keys), flip
+    return jax.vmap(one)(rgb01, flow_u8, mask_u8, flip, keys), flip
 
 
 def eval_transform_batch(rgb_u8, mean, std, flow_u8=None):

@@ -175,7 +175,7 @@ class CropBatchSource:
     """Random-sampling uint8 batch producer over crop PNG directories.
 
     Produces dicts of host numpy arrays:
-      {'rgb': (B,S,S,3) u8, 'emb': (B,D), 'flip_select': (B,) u8,
+      {'rgb': (B,S,S,3) u8, 'emb': (B,D), 'flip': (B,) bool,
        'flow': (B,S,S,3) u8?, 'mask': (B,S,S) u8?}
     The target row (orig vs flipped teacher emb) is chosen host-side when
     the target has flip rows; the actual pixel flip happens on device with
@@ -306,6 +306,13 @@ class PrefetchedSource:
         self._prefetcher.close()
 
 
+class _PrefetchError:
+    """Worker-exception envelope shipped through the prefetch queue."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class Prefetcher:
     """Double-buffered background batch producer (hides PNG decode)."""
 
@@ -318,7 +325,11 @@ class Prefetcher:
 
     def _run(self):
         while not self._stop:
-            batch = self.source.next_batch()
+            try:
+                batch = self.source.next_batch()
+            except BaseException as exc:  # surface to the consumer —
+                # a dead worker must not leave next() blocked forever
+                batch = _PrefetchError(exc)
             # Bounded put so a full queue can't park the worker forever
             # after close() stops draining (shutdown race: _stop was only
             # checked between batches).
@@ -328,9 +339,16 @@ class Prefetcher:
                     break
                 except queue.Full:
                     continue
+            if isinstance(batch, _PrefetchError):
+                return
 
     def next(self):
-        return self.q.get()
+        batch = self.q.get()
+        if isinstance(batch, _PrefetchError):
+            raise RuntimeError(
+                'prefetch worker died: {!r}'.format(batch.exc)) \
+                from batch.exc
+        return batch
 
     def close(self, timeout=5.0):
         self._stop = True

@@ -171,6 +171,12 @@ class SeqModelTrainer:
                  load_weights=None, preset=None, seed=0, log=None,
                  bucket_floor=None, **kwargs):
         self.num_classes = int(np.unique(np.asarray(y)).shape[0])
+        # jnp.take_along_axis CLAMPS out-of-range labels inside jit —
+        # a label >= num_classes (e.g. a class whose every sequence is
+        # embedding-less) would silently train a corrupted head where
+        # torch's F.cross_entropy crashes loudly
+        assert int(np.max(y)) < self.num_classes, \
+            (int(np.max(y)), self.num_classes)
         self.model = make_model(arch_type, self.num_classes, hidden_dim,
                                 **kwargs)
         self.batch_size = batch_size

@@ -76,6 +76,15 @@ class FusedSweepTrainer:
     trees for member m (the validation-best snapshot when a validation
     set was given, else the final state) — bit-compatible with
     `SeqModelTrainer` save/load trees.
+
+    BUCKETING CAVEAT: all members pad to one bucket derived from the
+    POOL's max length (`self.bucket_max_len` after construction), while
+    a standalone `SeqModelTrainer` buckets to its own subset's max — and
+    the unmasked attention-pooling quirk (QUIRKS.md) makes trained
+    weights depend on the padded length. Member-for-member equality
+    with sequential trainers therefore requires constructing those with
+    `bucket_floor=<this pool max>` (tasks/recognize.py does; tested in
+    tests/test_fused_sweep.py).
     """
 
     def __init__(self, arch_type, X_pool, y_pool, member_rows, hidden_dim,
@@ -96,6 +105,10 @@ class FusedSweepTrainer:
 
         y_pool = np.asarray(y_pool, dtype=np.int32)
         num_classes = int(np.unique(y_pool).shape[0])
+        # replicate torch's loud out-of-range crash: take_along_axis
+        # would clamp a label >= num_classes inside jit (classifier.py)
+        assert int(y_pool.max()) < num_classes, \
+            (int(y_pool.max()), num_classes)
         for rows in member_rows:
             got = int(np.unique(y_pool[np.asarray(rows)]).shape[0])
             if got != num_classes:
@@ -116,6 +129,7 @@ class FusedSweepTrainer:
             max((len(x) for x in (X_val or [])), default=0),
             bucket_floor or 0)
         max_len = bucket_len(max_len)
+        self.bucket_max_len = max_len  # see BUCKETING CAVEAT above
         Xp, lens = pad_sequences(X_pool, max_len)
 
         variables = model.init(

@@ -246,7 +246,10 @@ class FusedEnsembleTrainer:
         best_epoch = np.zeros(m, np.int64)
         live = np.ones(m, bool)
         steps_per_epoch = samples_per_epoch // batch_size
-        val_steps = max(1, steps_per_epoch // 5)
+        # the reference validates a FULL virtual epoch (same n=5000
+        # window dataset for val, `util/proposal.py:94-96,112-114`) —
+        # a shortened val pass would noise up best-epoch selection
+        val_steps = steps_per_epoch
         step_i = 0
         for epoch in range(num_epochs):
             live_dev = put_m(live)
@@ -458,7 +461,8 @@ class ProposalTrainer:
             if val_sampler is not None:
                 v_outs = []
                 v_total = 0
-                for _ in range(max(1, steps_per_epoch // 5)):
+                # full virtual val epoch (`util/proposal.py:94-96`)
+                for _ in range(steps_per_epoch):
                     xb, yb = val_sampler.batch(batch_size)
                     v_outs.append(eval_fn(self.params, self.batch_stats,
                                           xb, yb))

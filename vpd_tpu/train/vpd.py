@@ -238,13 +238,17 @@ def make_cached_eval_step(model, mean, std, use_flow=False, mesh=None,
 
 
 def make_aug_eval_step(model, mean, std, img_dim=128, use_flow=False,
-                       use_mask=True):
+                       use_mask=True, aug_dtype=None,
+                       jitter_order='batch'):
     """Validation step WITH train-time augmentation (reference parity:
     the reference builds its val datasets with augment=True,
     `vpd_dataset/single_frame.py:354` + `vpd_dataset/common.py:83-108`,
     so val batches get jitter/crop/flip). Model stays in eval mode.
     Off by default — see QUIRKS.md "Deviations"; enable with the
-    `augment_val` config flag / `--augment_val`."""
+    `augment_val` config flag / `--augment_val`. `aug_dtype` and
+    `jitter_order` must match the train step's so val loss is computed
+    under the same augmentation distribution."""
+    aug_dtype = aug_dtype if aug_dtype is not None else jnp.float32
 
     def step(state, batch, rng, step_idx):
         aug_rng = jax.random.fold_in(rng, step_idx)
@@ -252,7 +256,8 @@ def make_aug_eval_step(model, mean, std, img_dim=128, use_flow=False,
             aug_rng, batch['rgb'], mean, std,
             flow_u8=batch.get('flow') if use_flow else None,
             mask_u8=batch.get('mask') if use_mask else None,
-            flip=batch['flip'], out_size=img_dim)
+            flip=batch['flip'], out_size=img_dim, dtype=aug_dtype,
+            jitter_order=jitter_order)
         out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             imgs, train=False)

@@ -100,7 +100,9 @@ class VPDTrainer:
             self.eval_step = None
             self.aug_eval_step = make_aug_eval_step(
                 self.model, mean, std, img_dim=img_dim,
-                use_flow=config['use_flow'], use_mask=use_mask)
+                use_flow=config['use_flow'], use_mask=use_mask,
+                aug_dtype=model_dtype,
+                jitter_order=self.config.get('jitter_order', 'batch'))
         else:
             if self.cache is not None:
                 self.eval_step = make_cached_eval_step(
