@@ -22,21 +22,26 @@ KNN_MODELS = ['dtw']
 SEQ_MODELS = ['lstm', 'gru', 'cnn']
 
 
-def _expand_flip_rows(all_embs, labels, class_index):
-    """(T, k, D) flip rows -> k separate training sequences."""
-    X, y = [], []
+def _expand_flip_rows(all_embs, labels, class_index=None):
+    """(T, k, D) flip rows -> k separate training sequences.
+
+    Returns (X, y, seqs): the per-variant sequence list, the label per
+    variant (mapped through `class_index` when given, raw otherwise),
+    and the source sequence id per variant. Actions with no embeddings
+    (None) are dropped.
+    """
+    X, y, seqs = [], [], []
     for seq, embs in all_embs.items():
         if embs is None:
             continue
-        tgt = class_index(labels[seq])
-        if len(embs.shape) == 3:
-            for j in range(embs.shape[1]):
-                X.append(embs[:, j, :])
-                y.append(tgt)
-        else:
-            X.append(embs)
-            y.append(tgt)
-    return X, np.array(y)
+        n_variants = embs.shape[1] if embs.ndim == 3 else 1
+        variants = ([embs[:, j, :] for j in range(n_variants)]
+                    if embs.ndim == 3 else [embs])
+        X.extend(variants)
+        tgt = labels[seq] if class_index is None else class_index(labels[seq])
+        y.extend([tgt] * n_variants)
+        seqs.extend([seq] * n_variants)
+    return X, np.array(y), seqs
 
 
 class SeqModel:
@@ -49,10 +54,10 @@ class SeqModel:
         self.top_class = classes.most_common()[0][0]
 
         cidx = self.classes.index
-        X, y = _expand_flip_rows(train_embs, train_labels, cidx)
+        X, y, _ = _expand_flip_rows(train_embs, train_labels, cidx)
         X_val, y_val = (None, None)
         if val_embs:
-            X_val, y_val = _expand_flip_rows(val_embs, val_labels, cidx)
+            X_val, y_val, _ = _expand_flip_rows(val_embs, val_labels, cidx)
 
         self.model = SeqModelTrainer(
             arch_type, X, y, hidden_dim, X_val=X_val, y_val=y_val, **kwargs)
@@ -79,54 +84,42 @@ class SeqModel:
 
 
 class KnnModel:
-    """DTW k-NN recognizer (`recognize.py:125-184`)."""
+    """DTW k-NN recognizer (`recognize.py:125-184`).
+
+    Two indices share the expanded variant rows: symmetricP2 is scored
+    first; symmetric2 answers only when the P2 step pattern is
+    infeasible for the query (the DTW fns raise / yield no neighbor).
+    Both failing falls back to the most common training class.
+    """
 
     def __init__(self, dist_type, train_embs, train_labels, k):
-        classes = Counter(train_labels[seq] for seq in train_embs)
-        self.top_class = classes.most_common()[0][0]
         assert dist_type == 'dtw', dist_type
-        dist_fn, dist_fn2 = make_dtw_fns()
+        counts = Counter(train_labels[seq] for seq in train_embs)
+        self.top_class = counts.most_common()[0][0]
+        X, y, self.val = _expand_flip_rows(train_embs, train_labels)
+        self.models = [KNearestNeighbors(X, y, fn, k=k)
+                       for fn in make_dtw_fns()]
 
-        X, y, val = [], [], []
-        for seq, embs in train_embs.items():
-            if embs is None:
-                continue
-            tgt = train_labels[seq]
-            if len(embs.shape) == 3:
-                for i in range(embs.shape[1]):
-                    X.append(embs[:, i, :])
-                    y.append(tgt)
-                    val.append(seq)
-            else:
-                X.append(embs)
-                y.append(tgt)
-                val.append(seq)
-        self.val = val
-        self.model = KNearestNeighbors(X, y, dist_fn, k=k)
-        self.model2 = KNearestNeighbors(X, y, dist_fn2, k=k)
+    @staticmethod
+    def _variants(x, ensemble):
+        if x.ndim != 3:
+            return [x]
+        cols = range(x.shape[1]) if ensemble else range(1)
+        return [x[:, j, :] for j in cols]
 
     def predict(self, x, ensemble=True):
-        def _predict(model):
-            if len(x.shape) == 3:
-                if ensemble:
-                    pred, i = model.predict_n(
-                        *[x[:, j, :] for j in range(x.shape[1])])
-                else:
-                    pred, i = model.predict(x[:, 0, :])
-            else:
-                pred, i = model.predict(x)
-            if i is None:
-                raise ValueError('No prediction')
-            return pred, self.val[i]
-
-        if x is not None:
+        if x is None:
+            return self.top_class, None
+        variants = self._variants(x, ensemble)
+        for model in self.models:
             try:
-                return _predict(self.model)
-            except Exception:
-                try:
-                    return _predict(self.model2)
-                except Exception as e:
-                    print(e)
+                pred, i = (model.predict_n(*variants) if len(variants) > 1
+                           else model.predict(variants[0]))
+            except Exception as e:  # infeasible step pattern -> next
+                print(e)
+                continue
+            if i is not None:
+                return pred, self.val[i]
         return self.top_class, None
 
 
@@ -275,20 +268,15 @@ def _train_fused_sweep(subsets, train_embs, train_labels, val_embs,
         if sorted(set(train_labels[s] for s in sub)) != classes:
             return None
     cidx = classes.index
-    X_pool, y_pool = _expand_flip_rows(train_embs, train_labels, cidx)
-    row_seq = []
-    for seq, embs in train_embs.items():
-        if embs is None:
-            continue
-        k = embs.shape[1] if len(embs.shape) == 3 else 1
-        row_seq.extend([seq] * k)
+    X_pool, y_pool, row_seq = _expand_flip_rows(train_embs, train_labels,
+                                                cidx)
     member_rows = [[r for r, s in enumerate(row_seq) if s in sub]
                    for sub in subsets]
     if any(not rows for rows in member_rows):
         return None
     X_val = y_val = None
     if val_embs:
-        X_val, y_val = _expand_flip_rows(val_embs, val_labels, cidx)
+        X_val, y_val, _ = _expand_flip_rows(val_embs, val_labels, cidx)
     try:
         fused = FusedSweepTrainer(
             algorithm, X_pool, y_pool, member_rows, X_val=X_val,
@@ -532,25 +520,26 @@ def run_action_retrieval(emb_dict, label_dict, hit_t, queryset=None,
             return neighbors.find(embs_q, k, 1)
 
     for q_idx, q in queries:
-        hit_at = None
-        hits = []
+        ranks = np.empty(0, np.int64)  # ranks of correct-label neighbors
         embs_q = all_embs[q_idx]
         if embs_q is not None:
-            idx_ofs = 1  # +1 until we see the query itself
-            for j, (r_idx, _) in enumerate(
-                    find_neighbors(q_idx, embs_q, max_hit)):
-                if r_idx == q_idx:
-                    idx_ofs = 0
-                elif label_dict[q] == label_dict[actions[r_idx]]:
-                    if hit_at is None:
-                        hit_at = j + idx_ofs
-                    hits.append(j + idx_ofs)
+            found = find_neighbors(q_idx, embs_q, max_hit)
+            r = np.fromiter((ri for ri, _ in found), np.int64, len(found))
+            is_self = r == q_idx
+            # a neighbor listed before the query itself ranks one later
+            # than its list position; at/after the query, position = rank
+            ofs = (np.cumsum(is_self) == 0).astype(np.int64)
+            match = np.fromiter(
+                (label_dict[actions[ri]] == label_dict[q] for ri in r),
+                bool, len(r))
+            ranks = (np.arange(len(r)) + ofs)[match & ~is_self]
 
+        first = int(ranks.min()) if ranks.size else None
         for h in hit_t:
-            if hit_at is not None and h >= hit_at:
+            if first is not None and h >= first:
                 hit_counts[h] += 1
-            prec = (sum(int(x <= h) for x in hits) / h) if hits else 0
-            hit_precs[h].append(prec)
+            hit_precs[h].append(
+                int((ranks <= h).sum()) / h if ranks.size else 0)
 
     hit_rates = {h: hit_counts[h] / len(queries) * 100 for h in hit_t}
     precs = {h: float(np.mean(hit_precs[h])) * 100 for h in hit_t}
