@@ -28,7 +28,15 @@ A wall-clock budget (VPD_BENCH_BUDGET_S, default 480 s) stops escalation
 before the driver's own timeout would; whenever a kill lands, the tail
 already holds one valid line.
 
-Prints one-or-more JSON lines (LAST line = best measurement):
+BASELINE.md's metric is "student train + extract", so between the two
+extract rungs a TRAIN rung times the fused augment+fwd/bwd+AdamW step
+(ResNet-34 bf16, RGB+flow+mask, motion head, B=2048 pre-staged — the
+PERF.md "Student training step" config) and prints its own
+`student_train_crops_per_sec_per_chip` JSON line. The extract line is
+re-emitted right after it so the LAST stdout line is always the extract
+metric regardless of where the budget (or the driver's kill) lands.
+
+Prints one-or-more JSON lines (LAST line = best EXTRACT measurement):
 {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 5000 crops/sec/chip (BASELINE.md north star).
 """
@@ -50,9 +58,9 @@ def elapsed():
     return time.perf_counter() - START
 
 
-def emit(best):
+def emit(best, metric='student_extract_crops_per_sec_per_chip'):
     print(json.dumps({
-        'metric': 'student_extract_crops_per_sec_per_chip',
+        'metric': metric,
         'value': round(best, 1),
         'unit': 'crops/sec/chip',
         'vs_baseline': round(best / BASELINE, 3),
@@ -60,6 +68,64 @@ def emit(best):
 
 
 DEPTH = 4  # enqueue-ahead amortizes the relay round-trip
+
+
+def train_rung(jax, jnp, batch, rounds):
+    """Fused train step (augment -> fwd/bwd -> AdamW) crops/sec/chip.
+
+    PERF.md's "Student training step" config: ResNet-34 bf16 student,
+    RGB+flow+mask inputs, motion head (emb 32 -> target 64), bf16
+    augmentation. Batches are synthesized on device; the train state
+    chains through every dispatch so the relay cannot memoize repeats,
+    and one scalar readback per timing round forces the whole chain.
+    """
+    from functools import partial
+
+    from vpd_tpu.train.vpd import create_state, make_train_step
+    from vpd_tpu.train.vpd_loop import build_student, default_config
+
+    config = default_config('tennis', emb_dim=32, batch_size=batch,
+                            use_flow=True, motion=True,
+                            encoder_arch='resnet34')
+    model = build_student(config)  # bf16 student
+    mean, std = config['rgb_mean_std']
+    step = make_train_step(model, mean, std, use_flow=True,
+                           aug_dtype=jnp.bfloat16)
+    state = create_state(model, jnp.zeros((1, 128, 128, 5), jnp.float32),
+                         config['learning_rate'])
+
+    @partial(jax.jit, static_argnums=1)
+    def synth_batch(key, b):
+        ks = jax.random.split(key, 5)
+        u8 = lambda k, shape, hi: jax.random.randint(  # noqa: E731
+            k, shape, 0, hi, jnp.int32).astype(jnp.uint8)
+        return {
+            'rgb': u8(ks[0], (b, 128, 128, 3), 256),
+            'flow': u8(ks[1], (b, 128, 128, 3), 256),
+            'mask': u8(ks[2], (b, 128, 128), 2),
+            'emb': jax.random.normal(ks[3], (b, 64), jnp.float32),
+            'flip': jax.random.bernoulli(ks[4], 0.5, (b,)),
+        }
+
+    batches = [synth_batch(jax.random.key(100 + i), batch)
+               for i in range(DEPTH)]
+    rng = jax.random.key(7)
+
+    # first execution = the relay compile; readback forces it to run
+    state, metrics = step(state, batches[0], rng)
+    assert np.isfinite(np.asarray(metrics['emb_loss_sum']))
+
+    times = []
+    for _ in range(rounds):
+        start = time.perf_counter()
+        for b in batches:
+            state, metrics = step(state, b, rng)
+        val = np.asarray(metrics['emb_loss_sum'])  # forces the chain
+        times.append((time.perf_counter() - start) / DEPTH)
+        assert np.isfinite(val), val
+        if elapsed() > BUDGET_S:
+            break
+    return batch / min(times)
 
 
 def main():
@@ -149,6 +215,23 @@ def main():
     best = stage_time(small[0], bufs, small[1])
     emit(best)
     del bufs
+
+    # Train rung (foreground, overlapping the top-extract warm thread's
+    # relay queue time): the BASELINE metric is "train + extract".
+    if elapsed() < BUDGET_S - 120.0:
+        try:
+            train_rate = train_rung(jax, jnp, 2048, 3)
+            emit(train_rate, 'student_train_crops_per_sec_per_chip')
+            emit(best)  # keep the LAST line an extract measurement
+        except Exception as exc:  # noqa: BLE001 - extract line stands
+            print('# bench: train rung failed: {!r}'.format(exc),
+                  file=sys.stderr, flush=True)
+            if isinstance(exc, AssertionError):
+                raise
+    else:
+        print('# bench: skipping train rung at {:.0f}s '
+              '(budget {:.0f}s)'.format(elapsed(), BUDGET_S),
+              file=sys.stderr, flush=True)
 
     # Rung 2: wait for the background warm within the remaining budget
     # (leave ~60 s to actually time it), then measure.
