@@ -50,7 +50,7 @@ def test_dryrun_multichip_nondefault_n():
         'g.dryrun_multichip(2)\n'
         'print("DRYRUN2-OK")\n')
     assert 'DRYRUN2-OK' in out.stdout, out.stdout + out.stderr
-    # all seven contract stages must have reported (VPD student, VIPE
+    # all eight contract stages must have reported (VPD student, VIPE
     # teacher, sharded extract, HBM cache, row-sharded cache, fused
-    # few-shot sweep, flow fan-out)
-    assert out.stdout.count('dryrun_multichip OK') == 7, out.stdout
+    # few-shot sweep, fused detection ensemble, flow fan-out)
+    assert out.stdout.count('dryrun_multichip OK') == 8, out.stdout
