@@ -391,6 +391,127 @@ def test_cached_step_respects_source_use_mask(tmp_path):
     np.testing.assert_allclose(loss_c, loss_s, rtol=1e-5)
 
 
+def test_pack_yuv420_matches_encoder(tmp_path):
+    """yuv420-packed shard rows are bit-identical to `encode_yuv420` of
+    the raw stream (the no-host-encode extraction contract)."""
+    from vpd_tpu.data.upload_codec import encode_yuv420, packed_nbytes
+
+    crop_dir = str(tmp_path / 'crops')
+    write_crop_tree(crop_dir, ['v0', 'v1'], 5)
+    raw_dir = str(tmp_path / 'raw')
+    yuv_dir = str(tmp_path / 'yuv')
+    pack_crops(crop_dir, raw_dir, IMG, use_mask=False, rows_per_shard=4,
+               log=lambda *a: None)
+    pack_crops(crop_dir, yuv_dir, IMG, use_mask=False, rows_per_shard=4,
+               codec='yuv420', log=lambda *a: None)
+
+    raw = ShardReader(raw_dir, crop_root=crop_dir)
+    yuv = ShardReader(yuv_dir, crop_root=crop_dir)
+    assert raw.codec == 'raw' and yuv.codec == 'yuv420'
+    assert yuv.meta['codec'] == 'yuv420'
+    prefixes = [os.path.join(crop_dir, v, str(f))
+                for v in ('v0', 'v1') for f in range(5)]
+    rgb_raw = np.zeros((10, IMG, IMG, 3), np.uint8)
+    assert raw.fill(prefixes, rgb_raw) == []
+    rgb_yuv = np.zeros((10, packed_nbytes(IMG, IMG)), np.uint8)
+    assert yuv.fill(prefixes, rgb_yuv) == []
+    np.testing.assert_array_equal(rgb_yuv, encode_yuv420(rgb_raw))
+    # packed bytes are half the raw bytes
+    assert rgb_yuv.nbytes * 2 == rgb_raw.nbytes
+
+
+def test_fill_or_decode_yuv420_fallback(tmp_path):
+    """Unpacked crops fall back to PNG decode + encode, matching the
+    packed representation exactly."""
+    from vpd_tpu.data.upload_codec import encode_yuv420
+
+    crop_dir = str(tmp_path / 'crops')
+    write_crop_tree(crop_dir, ['v0'], 3)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, use_mask=False, codec='yuv420',
+               log=lambda *a: None)
+    write_crop_tree(crop_dir, ['late'], 1, seed=99)
+
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    prefixes = [os.path.join(crop_dir, 'v0', '0'),
+                os.path.join(crop_dir, 'late', '0')]
+    assert reader.rows(prefixes).tolist()[1] == -1
+    got, _, _ = fill_or_decode(reader, prefixes, IMG, codec='yuv420')
+    want_rgb, _, _ = decode_crop_batch(
+        [p + '.png' for p in prefixes], IMG)
+    np.testing.assert_array_equal(got, encode_yuv420(want_rgb))
+    # codec mismatch fails loudly, not by gathering wrong-shape bytes
+    with pytest.raises(AssertionError, match='codec'):
+        fill_or_decode(reader, prefixes, IMG)
+
+
+def test_apply_vpd_yuv420_shards_equal_raw_shards(tmp_path):
+    """Extraction from yuv420-packed shards == raw shards + host encode
+    (byte-identical .emb.pkl; the packer and the host path share one
+    encoder), and lossy shards without the codec error loudly."""
+    import jax.numpy as jnp
+
+    from vpd_tpu.infer.apply_vpd import (apply_vpd, load_student_dir,
+                                         scan_crop_dir)
+    from vpd_tpu.train.vpd_loop import VPDTrainer, default_config
+
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path)
+    config = default_config('tennis', emb_dim, num_epochs=1, batch_size=8,
+                            img_dim=IMG, encoder_arch='resnet18',
+                            checkpoint_frequency=1)
+    trainer = VPDTrainer(None, None, config, save_dir=str(tmp_path / 'm'),
+                         dtype=jnp.float32)
+    trainer.save_config()
+    trainer.save_model('best_epoch')
+
+    raw_dir = str(tmp_path / 'raw')
+    yuv_dir = str(tmp_path / 'yuv')
+    pack_crops(crop_dir, raw_dir, IMG, use_mask=False, log=lambda *a: None)
+    pack_crops(crop_dir, yuv_dir, IMG, use_mask=False, codec='yuv420',
+               log=lambda *a: None)
+    videos, tasks = scan_crop_dir(crop_dir)
+    prepared = load_student_dir(str(tmp_path / 'm'))
+
+    apply_vpd(videos, tasks, None, str(tmp_path / 'out_raw'), batch_size=8,
+              prepared=prepared, upload_codec='yuv420',
+              shard_reader=ShardReader(raw_dir, crop_root=crop_dir),
+              log=lambda *a: None)
+    apply_vpd(videos, tasks, None, str(tmp_path / 'out_yuv'), batch_size=8,
+              prepared=prepared, upload_codec='yuv420',
+              shard_reader=ShardReader(yuv_dir, crop_root=crop_dir),
+              log=lambda *a: None)
+    for v in videos:
+        with open(tmp_path / 'out_raw' / (v + '.emb.pkl'), 'rb') as fp:
+            want = fp.read()
+        with open(tmp_path / 'out_yuv' / (v + '.emb.pkl'), 'rb') as fp:
+            got = fp.read()
+        assert got == want, v
+
+    with pytest.raises(ValueError, match='upload_codec'):
+        apply_vpd(videos, tasks, None, str(tmp_path / 'out_bad'),
+                  batch_size=8, prepared=prepared,
+                  shard_reader=ShardReader(yuv_dir, crop_root=crop_dir),
+                  log=lambda *a: None)
+
+
+def test_training_rejects_yuv420_shards(tmp_path):
+    """The training paths consume raw pixels; lossy extraction shards
+    must be rejected at construction, not decoded wrong."""
+    from vpd_tpu.data.hbm_cache import DeviceCropCache
+
+    samples, _, crop_dir = setup_dataset(tmp_path)
+    shard_dir = str(tmp_path / 'shards')
+    pack_crops(crop_dir, shard_dir, IMG, use_mask=False, codec='yuv420',
+               log=lambda *a: None)
+    train, _ = train_val_split(samples)
+    with pytest.raises(AssertionError, match='extraction-only'):
+        CropBatchSource(train, crop_dir, IMG, batch_size=4,
+                        use_mask=False, shard_dir=shard_dir)
+    reader = ShardReader(shard_dir, crop_root=crop_dir)
+    with pytest.raises(AssertionError, match='extraction-only'):
+        DeviceCropCache(reader, use_mask=False, log=lambda *a: None)
+
+
 def test_shard_reader_relative_crop_root(tmp_path, monkeypatch):
     """Prefixes built from a RELATIVE img_dir must still hit the packed
     index (they used to pass through verbatim and miss every key)."""

@@ -203,6 +203,10 @@ class CropBatchSource:
         if shard_dir is not None:  # packed-shard cache: memcpy, no codec
             from .shards import ShardReader
             self.shards = ShardReader(shard_dir, crop_root=img_dir)
+            assert self.shards.codec == 'raw', \
+                'training needs raw-pixel shards; "{}" shards are ' \
+                'extraction-only (pack without --codec)'.format(
+                    self.shards.codec)
             if flow_img_name:
                 packed = self.shards.meta['flow_img_name']
                 assert packed == flow_img_name, \

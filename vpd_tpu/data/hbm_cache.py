@@ -67,6 +67,9 @@ class DeviceCropCache:
         import jax.numpy as jnp
 
         self.reader = reader
+        assert reader.codec == 'raw', \
+            'the HBM cache stages raw pixels; "{}" shards are ' \
+            'extraction-only (pack without --codec)'.format(reader.codec)
         streams = {'rgb': reader._rgb}
         if use_flow:
             assert reader._flow, 'shards packed without flow'

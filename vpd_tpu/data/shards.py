@@ -11,11 +11,23 @@ format written by `extract_square_crops` (reference
 `extract_square_crops.py:122-135`); shards are a derived cache.
 
 Layout under <shard_dir>:
-  shards_meta.json          img_dim, streams, rows_per_shard, shard rows
+  shards_meta.json          img_dim, codec, rows_per_shard, shard rows
   shards_index.pkl          {rel_prefix: global_row}
-  s<NNNN>.rgb               (rows, S, S, 3) uint8, C-contiguous
+  s<NNNN>.rgb               (rows, S, S, 3) uint8, C-contiguous   [codec=raw]
+                            (rows, S*S*3//2) uint8 packed YUV420  [codec=yuv420]
   s<NNNN>.flow              (rows, S, S, 3) uint8         [if flow packed]
   s<NNNN>.mask              (rows, S, S) uint8            [if masks packed]
+
+`codec='yuv420'` stores the rgb stream PRE-PACKED in the lossy upload
+codec (`data/upload_codec.py`): extraction with `--upload_codec yuv420`
+then memmap-gathers the 1.5 B/px representation directly — no per-batch
+host encode on the decode thread and half the shard disk / page-cache
+bytes. Packed bytes are bit-identical to `encode_yuv420` of the raw
+stream (the packer calls it), so yuv420 shards + yuv420 upload produce
+the same embeddings as raw shards + yuv420 upload. Training and the HBM
+cache consume raw pixels and reject yuv420 shards loudly. Flow and mask
+streams always store raw (flow PNGs are already quantized; masks are
+binary).
 
 `rel_prefix` is the crop path relative to the image root, '/'-separated,
 without extension: 'video/frame' or 'video/player/frame' — exactly the
@@ -67,14 +79,23 @@ def scan_png_tree(img_dir):
 
 def pack_crops(img_dir, shard_dir, img_dim, *, flow_img_name=None,
                use_mask=True, rows_per_shard=DEFAULT_ROWS_PER_SHARD,
-               use_native=None, log=print):
+               use_native=None, codec='raw', log=print):
     """One-time transcode: PNG tree -> shard files + index. Returns count.
 
     Decoding reuses `decode_crop_batch` (C++ thread-pool decoder when
     buildable), so packed bytes are byte-identical to what the PNG path
     would feed the device. Missing masks zero-fill (same contract).
+    `codec='yuv420'` stores the rgb stream pre-encoded for the upload
+    codec (extraction-only shards; see module docstring).
     """
     from .crops import decode_crop_batch
+
+    assert codec in ('raw', 'yuv420'), codec
+    if codec == 'yuv420':
+        from .upload_codec import encode_yuv420, packed_nbytes
+        rgb_row_shape = (packed_nbytes(img_dim, img_dim),)
+    else:
+        rgb_row_shape = (img_dim, img_dim, 3)
 
     entries = scan_png_tree(img_dir)
     assert entries, 'no crops under {}'.format(img_dir)
@@ -82,8 +103,9 @@ def pack_crops(img_dir, shard_dir, img_dim, *, flow_img_name=None,
 
     index = {}
     shard_rows = []
-    rgb_buf = np.zeros((rows_per_shard, img_dim, img_dim, 3), np.uint8)
-    flow_buf = (np.zeros_like(rgb_buf) if flow_img_name else None)
+    rgb_buf = np.zeros((rows_per_shard,) + rgb_row_shape, np.uint8)
+    flow_buf = (np.zeros((rows_per_shard, img_dim, img_dim, 3), np.uint8)
+                if flow_img_name else None)
     mask_buf = (np.zeros((rows_per_shard, img_dim, img_dim), np.uint8)
                 if use_mask else None)
 
@@ -115,6 +137,8 @@ def pack_crops(img_dir, shard_dir, img_dim, *, flow_img_name=None,
                         if use_mask else None),
             rgb_out=rgb, flow_out=flow, mask_out=mask,
             use_native=use_native)
+        if codec == 'yuv420':
+            rgb = encode_yuv420(rgb)
         for j, (rel, _) in enumerate(chunk):
             index[rel] = len(shard_rows) * rows_per_shard + fill
             rgb_buf[fill] = rgb[j]
@@ -137,6 +161,7 @@ def pack_crops(img_dir, shard_dir, img_dim, *, flow_img_name=None,
     # not leave a truncated shards_meta.json
     store_json(os.path.join(shard_dir, META_FILE), {
         'img_dim': img_dim,
+        'codec': codec,
         'flow_img_name': flow_img_name,
         'use_mask': use_mask,
         'rows_per_shard': rows_per_shard,
@@ -163,13 +188,21 @@ class ShardReader:
                           if crop_root is not None else None)
         s = self.meta['img_dim']
         self.rows_per_shard = self.meta['rows_per_shard']
+        # shards packed before the codec field existed are raw
+        self.codec = self.meta.get('codec', 'raw')
+        if self.codec == 'yuv420':
+            from .upload_codec import packed_nbytes
+            rgb_row_shape = (packed_nbytes(s, s),)
+        else:
+            rgb_row_shape = (s, s, 3)
         self._rgb = []
         self._flow = []
         self._mask = []
         for sid, rows in enumerate(self.meta['shard_rows']):
             base = os.path.join(shard_dir, 's{:04d}'.format(sid))
             self._rgb.append(np.memmap(
-                base + '.rgb', np.uint8, 'r', shape=(rows, s, s, 3)))
+                base + '.rgb', np.uint8, 'r',
+                shape=(rows,) + rgb_row_shape))
             if self.meta['flow_img_name']:
                 self._flow.append(np.memmap(
                     base + '.flow', np.uint8, 'r', shape=(rows, s, s, 3)))
@@ -224,7 +257,7 @@ class ShardReader:
 
 def fill_or_decode(reader, prefixes, img_dim, *, flow_img_name=None,
                    rgb_out=None, flow_out=None, mask_out=None,
-                   use_native=None):
+                   use_native=None, codec='raw'):
     """Shard gather with per-row PNG-decode fallback for unpacked crops.
 
     Drop-in alternative to `decode_crop_batch` over path prefixes; output
@@ -232,12 +265,20 @@ def fill_or_decode(reader, prefixes, img_dim, *, flow_img_name=None,
     request against the shard meta here — in the shared reader, not per
     consumer — so a flow-variant or size mismatch fails loudly instead
     of silently gathering the wrong packed stream.
+
+    `codec` is the representation `rgb_out` expects ('raw' rows are
+    (S, S, 3); 'yuv420' rows are the packed (S*S*3//2,) planes) and must
+    match how the shards were packed; fallback rows for unpacked crops
+    are PNG-decoded then encoded to match.
     """
     from .crops import decode_crop_batch
 
     assert img_dim == reader.meta['img_dim'], \
         'shards packed at img_dim={}, requested {}'.format(
             reader.meta['img_dim'], img_dim)
+    assert codec == reader.codec, \
+        'shards packed with codec "{}", requested "{}" — repack with ' \
+        'tools/pack_crops --codec {}'.format(reader.codec, codec, codec)
     if flow_out is not None:
         packed = reader.meta['flow_img_name']
         assert packed == flow_img_name, \
@@ -249,7 +290,7 @@ def fill_or_decode(reader, prefixes, img_dim, *, flow_img_name=None,
 
     n = len(prefixes)
     if rgb_out is None:
-        rgb_out = np.zeros((n, img_dim, img_dim, 3), np.uint8)
+        rgb_out = np.zeros((n,) + reader._rgb[0].shape[1:], np.uint8)
     missing = reader.fill(prefixes, rgb_out[:n],
                           flow_out[:n] if flow_out is not None else None,
                           mask_out[:n] if mask_out is not None else None)
@@ -268,6 +309,9 @@ def fill_or_decode(reader, prefixes, img_dim, *, flow_img_name=None,
                         if mask_out is not None else None),
             rgb_out=rgb_t, flow_out=flow_t, mask_out=mask_t,
             use_native=use_native)
+        if codec == 'yuv420':
+            from .upload_codec import encode_yuv420
+            rgb_t = encode_yuv420(rgb_t)
         rgb_out[missing] = rgb_t
         if flow_out is not None:
             flow_out[missing] = flow_t

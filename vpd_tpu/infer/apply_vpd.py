@@ -173,6 +173,9 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
     decodes on device (lossy opt-in for upload-bound links; see
     `data/upload_codec.py`). Requires `embed_fn=None` or an embed built
     with the same `upload_codec`; flow planes ship raw either way.
+    Shards packed with `--codec yuv420` skip the host encode entirely
+    (the memmap gather fetches pre-packed rows) and require
+    `upload_codec='yuv420'`.
     """
     model, variables, config = (prepared if prepared is not None
                                 else load_student_dir(model_dir,
@@ -180,6 +183,12 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
     if config['use_flow']:
         assert flow_img_name, 'model uses flow; pass flow_img_name'
     img_dim = config['img_dim']
+    shard_codec = 'raw' if shard_reader is None else shard_reader.codec
+    if shard_codec != 'raw' and upload_codec != shard_codec:
+        raise ValueError(
+            'shards are packed with codec "{}"; pass upload_codec="{}" '
+            '(raw pixels cannot be reconstructed from lossy shards)'
+            .format(shard_codec, shard_codec))
     if embed_fn is not None and (jitter != 0 or no_flip):
         raise ValueError(
             'embed_fn bakes in its own jitter/flip variant set; passing '
@@ -208,7 +217,12 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
     chunk_counter = itertools.count()
 
     def decode_chunk(chunk):
-        rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
+        if shard_codec == 'yuv420':
+            from ..data.upload_codec import packed_nbytes
+            rgb = np.zeros((batch_size, packed_nbytes(img_dim, img_dim)),
+                           np.uint8)
+        else:
+            rgb = np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
         # No flow buffer for 3-channel models: a zero (B, S, S, 3) array
         # would double the host->device bytes on upload-bound links.
         flow = (np.zeros((batch_size, img_dim, img_dim, 3), np.uint8)
@@ -218,7 +232,8 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             fill_or_decode(
                 shard_reader, [prefix for _, _, prefix in chunk], img_dim,
                 flow_img_name=flow_img_name, rgb_out=rgb[:len(chunk)],
-                flow_out=flow[:len(chunk)] if flow is not None else None)
+                flow_out=flow[:len(chunk)] if flow is not None else None,
+                codec=shard_codec)
         else:
             crops_mod.decode_crop_batch(
                 [prefix + '.png' for _, _, prefix in chunk], img_dim,
@@ -226,7 +241,7 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
                              for _, _, prefix in chunk]
                             if config['use_flow'] else None),
                 rgb_out=rgb, flow_out=flow)
-        if upload_codec == 'yuv420':
+        if upload_codec == 'yuv420' and shard_codec == 'raw':
             from ..data.upload_codec import encode_yuv420
             rgb = encode_yuv420(rgb)  # (B, S*S*3//2): half the bytes
         if mesh is not None:

@@ -44,6 +44,11 @@ def get_args():
                    choices=('raw', 'yuv420'),
                    help='yuv420: halve host->device bytes via the lossy '
                         'upload codec (data/upload_codec.py)')
+    p.add_argument('--shard_codec', default='raw',
+                   choices=('raw', 'yuv420'),
+                   help='with --shards: pack the rgb stream pre-encoded '
+                        '(yuv420 requires --upload_codec yuv420; removes '
+                        'the per-batch host encode from the path)')
     return p.parse_args()
 
 
@@ -133,16 +138,22 @@ def main():
     pack_rate = None
     if args.shards:
         from ..data.shards import ShardReader, pack_crops
+        if args.shard_codec != 'raw':
+            assert args.upload_codec == args.shard_codec, \
+                '--shard_codec {} requires --upload_codec {}'.format(
+                    args.shard_codec, args.shard_codec)
         shard_dir = os.path.join(work, 'shards')
         t0 = time.perf_counter()
         pack_crops(corpus_dir, shard_dir, args.img_dim,
                    flow_img_name='flow' if args.flow else None,
-                   use_mask=False, log=lambda *a: None)
+                   use_mask=False, codec=args.shard_codec,
+                   log=lambda *a: None)
         pack_rate = n / (time.perf_counter() - t0)
         shard_reader = ShardReader(shard_dir, crop_root=corpus_dir)
         prefixes = [prefix for _, _, prefix in tasks]
-        rgb_buf = np.zeros((n, args.img_dim, args.img_dim, 3), np.uint8)
-        flow_buf = np.zeros_like(rgb_buf) if args.flow else None
+        rgb_buf = np.zeros((n,) + shard_reader._rgb[0].shape[1:], np.uint8)
+        flow_buf = (np.zeros((n, args.img_dim, args.img_dim, 3), np.uint8)
+                    if args.flow else None)
         t0 = time.perf_counter()
         missing = shard_reader.fill(prefixes, rgb_buf, flow_buf)
         decode_rate = n / (time.perf_counter() - t0)
@@ -218,6 +229,8 @@ def main():
         'native_loader': use_native,
         'host_cores': os.cpu_count(),
         'shards': args.shards,
+        'upload_codec': args.upload_codec,
+        'shard_codec': args.shard_codec,
     }
     if pack_rate is not None:
         result['pack_rate'] = round(pack_rate, 1)

@@ -28,12 +28,18 @@ def get_args():
                         help='skip <frame>.mask.png streams')
     parser.add_argument('--rows_per_shard', type=int,
                         default=DEFAULT_ROWS_PER_SHARD)
+    parser.add_argument('--codec', default='raw',
+                        choices=('raw', 'yuv420'),
+                        help='yuv420: store rgb pre-packed in the lossy '
+                             'upload codec (extraction-only shards; no '
+                             'per-batch host encode, half the bytes)')
     return parser.parse_args()
 
 
-def main(img_dir, out_dir, dim, flow_img, no_mask, rows_per_shard):
+def main(img_dir, out_dir, dim, flow_img, no_mask, rows_per_shard, codec):
     pack_crops(img_dir, out_dir, dim, flow_img_name=flow_img,
-               use_mask=not no_mask, rows_per_shard=rows_per_shard)
+               use_mask=not no_mask, rows_per_shard=rows_per_shard,
+               codec=codec)
     print('Done!')
 
 
