@@ -1,7 +1,11 @@
 """Pallas fused preprocessing kernel vs the XLA reference path.
 
-Runs in pallas interpret mode (CPU); the compiled kernel is exercised on
-real TPU by bench/perf scripts.
+Runs in pallas interpret mode (CPU). The compiled kernel was equality-
+checked and timed on the real chip by `tools/bench_pallas_preprocess`
+(PERF.md "Fused preprocessing": ~7% faster than XLA end-of-chain at the
+B=4096 extraction rung, ~4% slower at B=1024), and ships as the
+`--preprocess pallas` opt-in on `tools/apply_vpd`
+(`test_extraction_pallas_preprocess` below covers that wiring).
 """
 
 import jax

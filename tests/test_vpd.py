@@ -190,6 +190,46 @@ def test_vpd_training_reduces_loss(tmp_path, flow):
     assert np.isfinite(row).all()
 
 
+@pytest.mark.parametrize('flow', [False, True])
+def test_extraction_pallas_preprocess(tmp_path, flow):
+    """`preprocess='pallas'` (the --preprocess pallas CLI opt-in) writes
+    the same .emb.pkl as the default XLA path (bf16-rounding tolerance);
+    interpret mode on CPU, compiled on TPU by bench_pallas_preprocess."""
+    samples, emb_dim, crop_dir = setup_dataset(tmp_path, flow=flow)
+    train, _ = train_val_split(samples)
+    src = CropBatchSource(train, crop_dir, IMG, batch_size=8,
+                          target_len=8, use_mask=False,
+                          flow_img_name='flow' if flow else None)
+    config = default_config('tennis', emb_dim, num_epochs=1, batch_size=8,
+                            img_dim=IMG, use_flow=flow,
+                            encoder_arch='resnet18',
+                            checkpoint_frequency=1)
+    trainer = VPDTrainer(src, None, config, save_dir=str(tmp_path / 'm'),
+                         dtype=jnp.float32)
+    trainer.save_config()
+    trainer.fit(log=lambda *a: None)
+
+    videos, tasks = scan_crop_dir(crop_dir)
+    outs = {}
+    for pre in ('xla', 'pallas'):
+        out_dir = str(tmp_path / ('o_' + pre))
+        apply_vpd(videos, tasks, str(tmp_path / 'm'), out_dir,
+                  model_epoch=1, batch_size=8, preprocess=pre,
+                  flow_img_name='flow' if flow else None,
+                  log=lambda *a: None)
+        with open(os.path.join(out_dir, 'video0.emb.pkl'), 'rb') as fp:
+            outs[pre] = pickle.load(fp)
+
+    assert len(outs['xla']) == len(outs['pallas'])
+    for (f1, r1, _), (f2, r2, _) in zip(outs['xla'], outs['pallas']):
+        assert f1 == f2
+        assert r1.shape == r2.shape == (2, emb_dim)
+        # bf16 preprocess rounding vs the f32 XLA path
+        cos = np.sum(r1 * r2, -1) / (
+            np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1))
+        assert cos.min() > 0.999, cos
+
+
 def test_motion_head_output_dims(tmp_path):
     samples, emb_dim, crop_dir = setup_dataset(tmp_path, embed_time=True)
     train, val = train_val_split(samples)

@@ -54,7 +54,7 @@ def load_student_dir(model_dir, model_epoch=None, dtype=None):
 
 
 def make_variant_embed(model, variables, config, jitter=0, flip=True,
-                       upload_codec=None):
+                       upload_codec=None, preprocess='xla'):
     """Jitted: (B, S, S, 3[+flow]) uint8 -> (B, k, D) variant embeddings.
 
     Variant order: [orig, jitter x j, flip, flip-jitter x j] (flipped
@@ -69,17 +69,50 @@ def make_variant_embed(model, variables, config, jitter=0, flip=True,
     (B, S*S*3//2) uint8 plane array from `data.upload_codec` — decoded
     back to uint8 RGB at the top of the program (halves H2D bytes on
     upload-bound links; lossy opt-in, see upload_codec.py).
+
+    `preprocess='pallas'`: build the orig/flip variants with the fused
+    Pallas normalize+interleave+flip kernel (`ops/pallas/preprocess`)
+    instead of the XLA ops — measured ~7% faster end-of-chain at the
+    B=4096 extraction rung, ~4% slower at B=1024 (PERF.md "Fused
+    preprocessing"); no-jitter extractions only.
     """
     mean, std = config['rgb_mean_std']
     use_flow = config['use_flow']
     img_dim = config['img_dim']
     encoder_only = model.encoder  # motion head is train-only
+    assert preprocess in ('xla', 'pallas'), preprocess
+    if preprocess == 'pallas':
+        assert jitter == 0, 'the Pallas preprocess covers no-jitter ' \
+            'extraction only (color jitter stays on the XLA path)'
 
     @jax.jit
     def fn(rgb_u8, flow_u8, rng, chunk_i=0):
         if upload_codec == 'yuv420':
             from ..data.upload_codec import decode_yuv420
             rgb_u8 = decode_yuv420(rgb_u8, img_dim, img_dim)
+        if preprocess == 'pallas':
+            from ..ops.pallas.preprocess import preprocess_crops_pallas
+
+            # interpret mode keeps the path testable on the CPU conftest
+            interp = jax.default_backend() != 'tpu'
+            fl = flow_u8 if use_flow else None
+
+            def pre(flip_all):
+                return preprocess_crops_pallas(
+                    rgb_u8, fl,
+                    jnp.full((rgb_u8.shape[0],), flip_all, jnp.int32),
+                    mean, std, interpret=interp)
+
+            variants = [pre(0)]
+            if flip:
+                variants.append(pre(1))
+            k = len(variants)
+            stacked = jnp.concatenate(variants, axis=0)
+            embs = encoder_only.apply(
+                {'params': variables['params']['encoder'],
+                 'batch_stats': variables['batch_stats']['encoder']},
+                stacked, train=False)
+            return jnp.stack(jnp.split(embs, k, axis=0), axis=1)
         x = eval_transform_batch(rgb_u8, mean, std,
                                  flow_u8=flow_u8 if use_flow else None)
         variants = [x]
@@ -154,7 +187,7 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
               flow_img_name=None, jitter=0, no_flip=False,
               batch_size=EXTRACT_BATCH, mesh=None, log=print,
               prepared=None, embed_fn=None, shard_reader=None, seed=0,
-              upload_codec=None):
+              upload_codec=None, preprocess='xla'):
     """Extraction; pass a `Mesh` to shard batches across chips (inference
     fan-out: sharded batch embed + host gather, SURVEY.md §2.8).
 
@@ -195,7 +228,7 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             'jitter/no_flip alongside it would be silently ignored')
     embed = embed_fn if embed_fn is not None else make_variant_embed(
         model, variables, config, jitter=jitter, flip=not no_flip,
-        upload_codec=upload_codec)
+        upload_codec=upload_codec, preprocess=preprocess)
     if embed_fn is not None:
         import inspect
 

@@ -135,5 +135,12 @@ def preprocess_crops_pallas(rgb_u8, flow_u8, flip, mean, std,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w * channels), out_dtype),
         interpret=interpret,
+        # the f32 intermediates + the iota-built permutation matrices
+        # overflow the default 16 MB scoped-vmem budget at large grids;
+        # the chip has 128 MB of VMEM, so raise the ceiling instead of
+        # shrinking the block below one MXU tile
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*inputs)
     return out.reshape(b, h, w, channels)

@@ -33,12 +33,19 @@ def get_args():
                         help='shard each batch over all local devices '
                              '(inference fan-out, SURVEY.md §2.8; the '
                              'embed is batch-parallel)')
+    parser.add_argument('--preprocess', default='xla',
+                        choices=('xla', 'pallas'),
+                        help='pallas: fused normalize+interleave+flip '
+                             'kernel (ops/pallas/preprocess) instead of '
+                             'the XLA ops; ~7%% faster at B=4096, '
+                             'slightly slower at B=1024 (PERF.md); '
+                             'no-jitter extractions only')
     return parser.parse_args()
 
 
 def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
          flow_img, batch_size, crop_shards=None, upload_codec='raw',
-         data_parallel=False):
+         data_parallel=False, preprocess='xla'):
     if dataset == 'tennis':
         crop_dir = paths.TENNIS_CROP_DIR
         videos, tasks = scan_tennis_crop_dir(
@@ -75,7 +82,8 @@ def main(model_dir, dataset, out_dir, model_epoch, jitter, no_flip,
               flow_img_name=flow_img, jitter=jitter, no_flip=no_flip,
               batch_size=batch_size, shard_reader=shard_reader, mesh=mesh,
               upload_codec=(None if upload_codec == 'raw'
-                            else upload_codec))
+                            else upload_codec),
+              preprocess=preprocess)
     print('Done!')
 
 
