@@ -20,6 +20,28 @@ Layer map:
 
 __version__ = "0.1.0"
 
+# Subprocess platform override. JAX_PLATFORMS in the environment is a
+# no-op on this image (sitecustomize pre-imports jax before user code
+# runs), so multi-stage drivers that shell out to the CLI tools
+# (tools/bench_pipeline_e2e, tests) set VPD_FORCE_PLATFORM=cpu[:N]
+# instead; the import of vpd_tpu is early enough that no backend has
+# initialized yet.
+def _force_platform():
+    import os
+
+    spec = os.environ.get('VPD_FORCE_PLATFORM')
+    if not spec:
+        return
+    import jax
+
+    platform, _, n_devices = spec.partition(':')
+    jax.config.update('jax_platforms', platform)
+    if n_devices:
+        jax.config.update('jax_num_cpu_devices', int(n_devices))
+
+
+_force_platform()
+
 # Persistent XLA compilation cache for every entry point (CLIs, bench,
 # driver contracts, tests): cold compiles through the TPU relay run
 # minutes, cache hits deserialize in seconds. VPD_JAX_CACHE=0 disables;

@@ -12,7 +12,7 @@ from ..datasets.eval_splits import get_test_prefixes
 from ..datasets.metadata_cache import load_video_metadata
 from ..datasets.recognition_data import ACTION_DATA_DIR
 from ..tasks.detect import (DATA_CONFIGS, LOC_TEMPORAL_IOUS, Label,
-                            run_localization)
+                            ProposalModel, run_localization)
 from . import paths
 
 SEQ_MODELS = ['lstm', 'gru']
@@ -44,17 +44,34 @@ def get_args():
                         help='train KFold ensemble members one-by-one '
                              '(the reference-shaped loop; same results '
                              'as fused, k x more dispatches)')
+    parser.add_argument('--action_dir', type=str,
+                        help='override the packaged action_dataset dir '
+                             '(labels + localize split files) — '
+                             'tennis/fs only; lets synthetic corpora '
+                             'drive the full CLI (bench_pipeline_e2e)')
+    parser.add_argument('--loc_epochs', type=int,
+                        help='override the localization training '
+                             'schedule (default: the reference\'s '
+                             '200-epoch/25-min schedule); sets both '
+                             'num_epochs and min_epochs')
+    parser.add_argument('--samples_per_epoch', type=int,
+                        help='override the per-epoch window-sample '
+                             'count (default 5000)')
+    parser.add_argument('--seq_len', type=int,
+                        help='override the 250-frame training window '
+                             '(must be shorter than the videos)')
     return parser.parse_args()
 
 
-def load_tennis_labels(config):
+def load_tennis_labels(config, action_dir=None):
+    action_dir = action_dir or ACTION_DATA_DIR
     meta = load_video_metadata('tennis', paths.TENNIS_VIDEO_DIR)
     meta = {
         (*k.rsplit('_', 2)[:1], int(k.rsplit('_', 2)[1]),
          int(k.rsplit('_', 2)[2]), k): v
         for k, v in meta.items()}
     actions = load_actions(
-        os.path.join(ACTION_DATA_DIR, 'tennis', 'all.txt'))
+        os.path.join(action_dir, 'tennis', 'all.txt'))
     test_prefixes = get_test_prefixes('tennis')
 
     train_labels, test_labels = [], []
@@ -80,9 +97,10 @@ def load_tennis_labels(config):
     return train_labels, test_labels
 
 
-def load_fs_labels(config):
+def load_fs_labels(config, action_dir=None):
+    action_dir = action_dir or ACTION_DATA_DIR
     meta = load_video_metadata('fs', paths.FS_VIDEO_DIR)
-    actions = load_actions(os.path.join(ACTION_DATA_DIR, 'fs', 'all.txt'))
+    actions = load_actions(os.path.join(action_dir, 'fs', 'all.txt'))
     test_prefixes = get_test_prefixes('fs')
 
     train_labels, test_labels = [], []
@@ -153,33 +171,47 @@ def load_fx_labels(config, test_frac=0.25, seed=0,
 
 def main(dataset, k, out_dir, emb_dir, n_trials, algorithm, n_examples,
          tennis_window, norm, hidden_dim, batch_size, _all=False,
-         fused_ensemble=False, sequential_ensemble=False):
+         fused_ensemble=False, sequential_ensemble=False,
+         action_dir=None, loc_epochs=None, samples_per_epoch=None,
+         seq_len=None):
     config = DATA_CONFIGS[dataset]
+    if action_dir is not None:
+        assert dataset.startswith(('tennis', 'fs')), \
+            '--action_dir only overrides the tennis/fs label layout'
+    label_dir = action_dir or ACTION_DATA_DIR
     emb_dict = load_embs(emb_dir, norm)
 
     if dataset.startswith('tennis'):
         if tennis_window is not None:
             config = config._replace(window_before=tennis_window,
                                      window_after=tennis_window)
-        train_labels, test_labels = load_tennis_labels(config)
+        train_labels, test_labels = load_tennis_labels(config, action_dir)
         if config.video_name_prefix:
             train_labels = [l for l in train_labels
                             if l.video.startswith(config.video_name_prefix)]
             test_labels = [l for l in test_labels
                            if l.video.startswith(config.video_name_prefix)]
     elif dataset.startswith('fs'):
-        train_labels, test_labels = load_fs_labels(config)
+        train_labels, test_labels = load_fs_labels(config, action_dir)
     else:
         train_labels, test_labels = load_fx_labels(config)
 
     def few_shot_videos(trial):
         path = os.path.join(
-            ACTION_DATA_DIR, 'fs' if dataset.startswith('fs') else dataset,
+            label_dir, 'fs' if dataset.startswith('fs') else dataset,
             'train.localize.{}.txt'.format(trial))
         return load_text(path)
 
     del fused_ensemble  # fused is the default now; flag kept for compat
     model_kwargs = {}
+    if loc_epochs is not None:
+        model_kwargs['num_epochs'] = loc_epochs
+        model_kwargs['min_epochs'] = min(
+            loc_epochs, ProposalModel.MIN_TRAIN_EPOCHS)
+    if samples_per_epoch is not None:
+        model_kwargs['samples_per_epoch'] = samples_per_epoch
+    if seq_len is not None:
+        model_kwargs['seq_len'] = seq_len
     if sequential_ensemble:
         model_kwargs['fused'] = False
     else:

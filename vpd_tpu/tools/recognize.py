@@ -59,6 +59,11 @@ def get_args():
                         help='train few-shot trials one-by-one (the '
                              'reference-shaped loop; same results as '
                              'the fused sweep, more dispatches)')
+    parser.add_argument('--action_dir', type=str,
+                        help='override the packaged action_dataset dir '
+                             '(labels, val ids, few-shot split files) — '
+                             'tennis/fs only; lets synthetic corpora '
+                             'drive the full CLI (bench_pipeline_e2e)')
     return parser.parse_args()
 
 
@@ -96,8 +101,12 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
          hidden_dim, attn, target_fps, num_epochs, val_freq, n_trials,
          no_test_flip, retrieve, device_retrieval=False,
          device_knn=False, load_weights=None, fused_sweep=False,
-         sequential_sweep=False):
+         sequential_sweep=False, action_dir=None):
     val_embs = val_labels = None
+    if action_dir is not None:
+        assert dataset in ('tennis', 'fs'), \
+            '--action_dir only overrides the tennis/fs label layout'
+    label_dir = action_dir or ACTION_DATA_DIR
     if dataset.startswith('diving48'):
         (categories, train_embs, train_labels, test_embs,
          test_labels) = load_diving48_data(
@@ -118,16 +127,17 @@ def main(emb_dir, dataset, out_dir, algorithm, num_train_examples, norm, k,
         meta = load_video_metadata('tennis', paths.TENNIS_VIDEO_DIR)
         (categories, train_embs, train_labels, val_embs, val_labels,
          test_embs, test_labels, _) = load_tennis_data(
-            dataset, emb_dir, norm, meta)
+            dataset, emb_dir, norm, meta, action_dir=action_dir)
         few_shot_file = os.path.join(
-            ACTION_DATA_DIR, dataset, 'train_{}_{}.ids.txt')
+            label_dir, dataset, 'train_{}_{}.ids.txt')
         num_epochs = num_epochs or DEFAULT_NUM_EPOCHS
     elif dataset == 'fs':
         meta = load_video_metadata('fs', paths.FS_VIDEO_DIR)
         (categories, train_embs, train_labels, val_embs, val_labels,
-         test_embs, test_labels, _) = load_fs_data(emb_dir, norm, meta)
+         test_embs, test_labels, _) = load_fs_data(
+            emb_dir, norm, meta, action_dir=action_dir)
         few_shot_file = os.path.join(
-            ACTION_DATA_DIR, 'fs', 'train_{}_{}.ids.txt')
+            label_dir, 'fs', 'train_{}_{}.ids.txt')
         num_epochs = num_epochs or DEFAULT_NUM_EPOCHS
     else:
         raise NotImplementedError(dataset)
