@@ -36,6 +36,10 @@ PERF.md "Student training step" config) and prints its own
 re-emitted right after it so the LAST stdout line is always the extract
 metric regardless of where the budget (or the driver's kill) lands.
 
+After the top XLA rung, budget permitting, the same batch is re-timed
+through the fused Pallas preprocess (rung 3) and emitted only if it
+beats — PERF.md measured it ~7% ahead at B>=4096.
+
 Prints one-or-more JSON lines (LAST line = best EXTRACT measurement):
 {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 5000 crops/sec/chip (BASELINE.md north star).
@@ -147,6 +151,18 @@ def main():
             {'params': params, 'batch_stats': batch_stats}, imgs,
             train=False)
 
+    @jax.jit
+    def embed_pallas(params, batch_stats, rgb_u8):
+        # the fused Pallas preprocess (PERF.md: ~7% over the XLA path at
+        # the large extraction rungs); flip=0 == eval_transform_batch
+        from vpd_tpu.ops.pallas.preprocess import preprocess_crops_pallas
+        imgs = preprocess_crops_pallas(
+            rgb_u8, None, jnp.zeros((rgb_u8.shape[0],), jnp.int32),
+            mean, std)
+        return model.apply(
+            {'params': params, 'batch_stats': batch_stats}, imgs,
+            train=False)
+
     from functools import partial
 
     @partial(jax.jit, static_argnums=1)
@@ -157,7 +173,7 @@ def main():
     params = variables['params']
     batch_stats = variables['batch_stats']
 
-    def stage_setup(batch):
+    def stage_setup(batch, fn=embed):
         """Synthesize DEPTH device buffers and warm the embed program.
 
         The first embed() call of a new batch shape triggers the relay
@@ -165,15 +181,15 @@ def main():
         """
         keys = jax.random.split(jax.random.key(batch), DEPTH)
         bufs = [synth(k, batch) for k in keys]
-        out = np.asarray(embed(params, batch_stats, bufs[0]))
+        out = np.asarray(fn(params, batch_stats, bufs[0]))
         assert np.all(np.isfinite(out))
         return bufs
 
-    def stage_time(batch, bufs, rounds):
+    def stage_time(batch, bufs, rounds, fn=embed):
         times = []
         for _ in range(rounds):
             start = time.perf_counter()
-            outs = [embed(params, batch_stats, b) for b in bufs]
+            outs = [fn(params, batch_stats, b) for b in bufs]
             res = [np.asarray(o) for o in outs]
             times.append((time.perf_counter() - start) / DEPTH)
             if elapsed() > BUDGET_S:
@@ -249,6 +265,34 @@ def main():
         return
     best = max(best, stage_time(top[0], top_state['bufs'], top[1]))
     emit(best)
+
+    # Rung 3 (budget permitting): the same top batch through the fused
+    # Pallas preprocess — PERF.md measured it ~7% faster at B>=4096.
+    # Emitted only when it actually beats the XLA rung, so the tail
+    # stays monotone.
+    if elapsed() < BUDGET_S - 90.0:
+        try:
+            out = np.asarray(
+                embed_pallas(params, batch_stats, top_state['bufs'][0]))
+            assert np.all(np.isfinite(out))
+            rate = stage_time(top[0], top_state['bufs'], top[1],
+                              fn=embed_pallas)
+            if rate > best:
+                best = rate
+                emit(best)
+            else:
+                print('# bench: pallas rung {:.1f} <= xla {:.1f}; '
+                      'keeping xla line'.format(rate, best),
+                      file=sys.stderr, flush=True)
+        except AssertionError:
+            raise  # numerics fault: do not mask
+        except Exception as exc:  # noqa: BLE001 - xla line stands
+            print('# bench: pallas rung failed: {!r}'.format(exc),
+                  file=sys.stderr, flush=True)
+    else:
+        print('# bench: skipping pallas rung at {:.0f}s '
+              '(budget {:.0f}s)'.format(elapsed(), BUDGET_S),
+              file=sys.stderr, flush=True)
 
 
 if __name__ == '__main__':
