@@ -26,7 +26,12 @@ bench that only measures the embed program.
 
 A wall-clock budget (VPD_BENCH_BUDGET_S, default 480 s) stops escalation
 before the driver's own timeout would; whenever a kill lands, the tail
-already holds one valid line.
+already holds one valid line. Every rung also emits EAGERLY — a JSON
+line goes out after the first timing round and after every improving
+round, not only when the rung completes — because relay load can
+stretch a single forced readback to minutes (a trivial program was
+measured at 343 s round-trip under a bad window); eager emission
+halves the round-trips between process start and the first line.
 
 BASELINE.md's metric is "student train + extract", so between the two
 extract rungs a TRAIN rung times the fused augment+fwd/bwd+AdamW step
@@ -74,7 +79,7 @@ def emit(best, metric='student_extract_crops_per_sec_per_chip'):
 DEPTH = 4  # enqueue-ahead amortizes the relay round-trip
 
 
-def train_rung(jax, jnp, batch, rounds):
+def train_rung(jax, jnp, batch, rounds, on_rate=None):
     """Fused train step (augment -> fwd/bwd -> AdamW) crops/sec/chip.
 
     PERF.md's "Student training step" config: ResNet-34 bf16 student,
@@ -114,22 +119,38 @@ def train_rung(jax, jnp, batch, rounds):
     batches = [synth_batch(jax.random.key(100 + i), batch)
                for i in range(DEPTH)]
     rng = jax.random.key(7)
+    metrics = {}  # bound for the finally even if the first step raises
 
-    # first execution = the relay compile; readback forces it to run
-    state, metrics = step(state, batches[0], rng)
-    assert np.isfinite(np.asarray(metrics['emb_loss_sum']))
+    try:
+        # first execution = the relay compile; readback forces it to run
+        state, metrics = step(state, batches[0], rng)
+        assert np.isfinite(np.asarray(metrics['emb_loss_sum']))
 
-    times = []
-    for _ in range(rounds):
-        start = time.perf_counter()
-        for b in batches:
-            state, metrics = step(state, b, rng)
-        val = np.asarray(metrics['emb_loss_sum'])  # forces the chain
-        times.append((time.perf_counter() - start) / DEPTH)
-        assert np.isfinite(val), val
-        if elapsed() > BUDGET_S:
-            break
-    return batch / min(times)
+        best_t = None
+        for _ in range(rounds):
+            start = time.perf_counter()
+            for b in batches:
+                state, metrics = step(state, b, rng)
+            val = np.asarray(metrics['emb_loss_sum'])  # forces the chain
+            dt = (time.perf_counter() - start) / DEPTH
+            assert np.isfinite(val), val
+            if best_t is None or dt < best_t:
+                best_t = dt
+                if on_rate is not None:  # eager: see stage_time docstring
+                    on_rate(batch / best_t)
+            if elapsed() > BUDGET_S:
+                break
+        return batch / best_t
+    finally:
+        # Free the train working set (state + moments + DEPTH batches,
+        # ~2 GB) DETERMINISTICALLY before the B=16384 extract rung: its
+        # execution transients nearly fill HBM, and a probe showed
+        # buffers from a finished/failed program lingering long enough
+        # to RESOURCE_EXHAUST the next one (B=4096 train OOMs outright
+        # on one chip — 2048 is the validated rung size).
+        for leaf in jax.tree_util.tree_leaves((state, batches, metrics)):
+            if hasattr(leaf, 'delete'):
+                leaf.delete()
 
 
 def main():
@@ -158,7 +179,7 @@ def main():
         from vpd_tpu.ops.pallas.preprocess import preprocess_crops_pallas
         imgs = preprocess_crops_pallas(
             rgb_u8, None, jnp.zeros((rgb_u8.shape[0],), jnp.int32),
-            mean, std)
+            mean, std, interpret=jax.default_backend() != 'tpu')
         return model.apply(
             {'params': params, 'batch_stats': batch_stats}, imgs,
             train=False)
@@ -185,28 +206,55 @@ def main():
         assert np.all(np.isfinite(out))
         return bufs
 
-    def stage_time(batch, bufs, rounds, fn=embed):
-        times = []
+    def stage_time(batch, bufs, rounds, fn=embed, on_rate=None):
+        """Time `rounds` dispatch chains; report improvements EAGERLY.
+
+        `on_rate` fires after every round that improves the rung's best
+        rate, so a JSON line hits stdout after the FIRST round instead
+        of after all of them. Under pathological relay load (a trivial
+        program was measured at 343 s round-trip) every forced readback
+        costs minutes; emitting eagerly is the difference between the
+        driver capturing one valid line and capturing nothing.
+        """
+        best_t = None
         for _ in range(rounds):
             start = time.perf_counter()
             outs = [fn(params, batch_stats, b) for b in bufs]
             res = [np.asarray(o) for o in outs]
-            times.append((time.perf_counter() - start) / DEPTH)
+            dt = (time.perf_counter() - start) / DEPTH
+            # non-finite embeddings are a numerics fault, not a relay
+            # hiccup: fail the bench rather than report a previous
+            # stage's number as if everything were fine
+            assert all(np.all(np.isfinite(r)) for r in res)
+            if best_t is None or dt < best_t:
+                best_t = dt
+                if on_rate is not None:
+                    on_rate(batch / best_t)
             if elapsed() > BUDGET_S:
                 break
-        # non-finite embeddings are a numerics fault, not a relay hiccup:
-        # fail the whole bench rather than report a previous stage's
-        # number as if everything were fine
-        assert all(np.all(np.isfinite(r)) for r in res)
-        return batch / min(times)
+        return batch / best_t
 
+    # Monotone eager emitter shared by every extract rung: a line goes
+    # out the moment any rung's round beats the best-so-far.
+    run = {'best': 0.0}
+
+    def emit_improved(rate):
+        if rate > run['best']:
+            run['best'] = rate
+            emit(rate)
+
+    # test knobs: shrink the rungs so the FULL main flow (eager rung 1,
+    # train rung, background-warmed top rung, guarded pallas rung) can
+    # run off-TPU in CI-ish time; production defaults otherwise
     ladder = [(1024, 3), (16384, 4)]
+    if os.environ.get('VPD_BENCH_LADDER'):
+        ladder = [tuple(int(v) for v in rung.split(':'))
+                  for rung in os.environ['VPD_BENCH_LADDER'].split(',')]
+        assert len(ladder) == 2, ladder
     if os.environ.get('VPD_BENCH_BATCHES'):  # debug override (serial)
-        best = 0.0
         for b in os.environ['VPD_BENCH_BATCHES'].split(','):
             bufs = stage_setup(int(b))
-            best = max(best, stage_time(int(b), bufs, 3))
-            emit(best)
+            stage_time(int(b), bufs, 3, on_rate=emit_improved)
         return
 
     small, top = ladder
@@ -228,17 +276,22 @@ def main():
     warm = threading.Thread(target=warm_top, daemon=True)
     warm.start()
 
-    best = stage_time(small[0], bufs, small[1])
-    emit(best)
+    stage_time(small[0], bufs, small[1], on_rate=emit_improved)
     del bufs
 
     # Train rung (foreground, overlapping the top-extract warm thread's
-    # relay queue time): the BASELINE metric is "train + extract".
+    # relay queue time): the BASELINE metric is "train + extract". Each
+    # improving train round emits a train line immediately FOLLOWED by
+    # an extract re-emit, so a kill landing mid-rung still leaves an
+    # extract metric as the last stdout line.
     if elapsed() < BUDGET_S - 120.0:
         try:
-            train_rate = train_rung(jax, jnp, 2048, 3)
-            emit(train_rate, 'student_train_crops_per_sec_per_chip')
-            emit(best)  # keep the LAST line an extract measurement
+            def note_train(rate):
+                emit(rate, 'student_train_crops_per_sec_per_chip')
+                emit(run['best'])
+            train_rung(jax, jnp,
+                       int(os.environ.get('VPD_BENCH_TRAIN_BATCH', 2048)),
+                       3, on_rate=note_train)
         except Exception as exc:  # noqa: BLE001 - extract line stands
             print('# bench: train rung failed: {!r}'.format(exc),
                   file=sys.stderr, flush=True)
@@ -263,26 +316,23 @@ def main():
         if isinstance(top_state['error'], AssertionError):
             raise top_state['error']  # numerics fault: do not mask
         return
-    best = max(best, stage_time(top[0], top_state['bufs'], top[1]))
-    emit(best)
+    stage_time(top[0], top_state['bufs'], top[1], on_rate=emit_improved)
 
     # Rung 3 (budget permitting): the same top batch through the fused
     # Pallas preprocess — PERF.md measured it ~7% faster at B>=4096.
-    # Emitted only when it actually beats the XLA rung, so the tail
-    # stays monotone.
+    # emit_improved fires only when it actually beats the XLA rung, so
+    # the tail stays monotone.
     if elapsed() < BUDGET_S - 90.0:
         try:
             out = np.asarray(
                 embed_pallas(params, batch_stats, top_state['bufs'][0]))
             assert np.all(np.isfinite(out))
+            xla_best = run['best']
             rate = stage_time(top[0], top_state['bufs'], top[1],
-                              fn=embed_pallas)
-            if rate > best:
-                best = rate
-                emit(best)
-            else:
+                              fn=embed_pallas, on_rate=emit_improved)
+            if rate <= xla_best:
                 print('# bench: pallas rung {:.1f} <= xla {:.1f}; '
-                      'keeping xla line'.format(rate, best),
+                      'keeping xla line'.format(rate, xla_best),
                       file=sys.stderr, flush=True)
         except AssertionError:
             raise  # numerics fault: do not mask
