@@ -40,3 +40,24 @@ def test_pallas_matches_xla(use_flow):
     assert out.shape == expected.shape
     # bf16 output rounding
     np.testing.assert_allclose(out, expected, atol=0.02)
+
+
+@pytest.mark.parametrize('b', [5, 13])
+def test_pallas_pads_ragged_batches(b):
+    """Batches not divisible by block_b are zero-padded to the grid and
+    sliced back — the extraction CLI's default batch (500) is not a
+    multiple of 8, and rows must match the block-aligned result."""
+    rng = np.random.default_rng(b)
+    s = 32
+    rgb = rng.integers(0, 255, (16, s, s, 3), dtype=np.uint8)
+    flow = rng.integers(0, 255, (16, s, s, 3), dtype=np.uint8)
+    flip = (np.arange(16) % 2).astype(np.int32)
+
+    full = np.asarray(preprocess_crops_pallas(
+        rgb, flow, jnp.asarray(flip), MEAN, STD, block_b=8,
+        interpret=True))
+    ragged = np.asarray(preprocess_crops_pallas(
+        rgb[:b], flow[:b], jnp.asarray(flip[:b]), MEAN, STD, block_b=8,
+        interpret=True))
+    assert ragged.shape == (b, s, s, 5)
+    np.testing.assert_array_equal(ragged, full[:b])

@@ -229,6 +229,19 @@ def test_extraction_pallas_preprocess(tmp_path, flow):
             np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1))
         assert cos.min() > 0.999, cos
 
+    # the Mosaic kernel has no SPMD partitioning rule: combining the
+    # pallas preprocess with the multi-device fan-out must fail loudly
+    # up front, not at compile time on the first sharded batch
+    import jax
+
+    from vpd_tpu.core.mesh import get_mesh
+    with pytest.raises(ValueError, match='pallas'):
+        apply_vpd(videos, tasks, str(tmp_path / 'm'),
+                  str(tmp_path / 'o_guard'), model_epoch=1, batch_size=8,
+                  preprocess='pallas', mesh=get_mesh(jax.devices()),
+                  flow_img_name='flow' if flow else None,
+                  log=lambda *a: None)
+
 
 def test_motion_head_output_dims(tmp_path):
     samples, emb_dim, crop_dir = setup_dataset(tmp_path, embed_time=True)

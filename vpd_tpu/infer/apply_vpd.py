@@ -222,6 +222,12 @@ def apply_vpd(videos, tasks, model_dir, out_dir, model_epoch=None,
             'shards are packed with codec "{}"; pass upload_codec="{}" '
             '(raw pixels cannot be reconstructed from lossy shards)'
             .format(shard_codec, shard_codec))
+    if mesh is not None and preprocess == 'pallas':
+        raise ValueError(
+            'preprocess="pallas" does not compose with the multi-device '
+            'fan-out: XLA\'s SPMD partitioner has no rule for the Mosaic '
+            'kernel inside the sharded embed — drop --data_parallel or '
+            'use the default XLA preprocess')
     if embed_fn is not None and (jitter != 0 or no_flip):
         raise ValueError(
             'embed_fn bakes in its own jitter/flip variant set; passing '

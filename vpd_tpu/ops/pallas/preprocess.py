@@ -95,28 +95,41 @@ def preprocess_crops_pallas(rgb_u8, flow_u8, flip, mean, std,
                             interpret=False):
     """(B, H, W, 3) u8 [+ (B, H, W, >=3) u8 flow] -> (B, H, W, C) bf16.
 
-    flip: (B,) int/bool; pass flow_u8=None for RGB-only.
+    flip: (B,) int/bool; pass flow_u8=None for RGB-only. Any B: batches
+    not divisible by `block_b` are zero-padded to the next grid row and
+    sliced back after the kernel (the extraction CLI's default batch of
+    500 is not a multiple of 8).
     """
     b, h, w, _ = rgb_u8.shape
     use_flow = flow_u8 is not None
     channels = 5 if use_flow else 3
-    assert b % block_b == 0, (b, block_b)
 
     mean = tuple(float(m) for m in mean)
     std = tuple(float(s) for s in std)
     flip = flip.astype(jnp.int32).reshape(-1, 1)
 
-    rgb_flat = rgb_u8.reshape(b, h, w * 3)
+    pad = -b % block_b
+    if pad:
+        rgb_u8 = jnp.concatenate(
+            [rgb_u8, jnp.zeros((pad, h, w, 3), rgb_u8.dtype)])
+        if use_flow:
+            flow_u8 = jnp.concatenate(
+                [flow_u8,
+                 jnp.zeros((pad,) + flow_u8.shape[1:], flow_u8.dtype)])
+        flip = jnp.concatenate([flip, jnp.zeros((pad, 1), flip.dtype)])
+    n = b + pad
+
+    rgb_flat = rgb_u8.reshape(n, h, w * 3)
     inputs = [rgb_flat]
     in_specs = [pl.BlockSpec((block_b, h, w * 3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)]
     if use_flow:
-        inputs.append(flow_u8[..., :3].reshape(b, h, w * 3))
+        inputs.append(flow_u8[..., :3].reshape(n, h, w * 3))
         in_specs.append(pl.BlockSpec((block_b, h, w * 3),
                                      lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
     else:
-        inputs.append(jnp.zeros((b, 1, 128), jnp.uint8))
+        inputs.append(jnp.zeros((n, 1, 128), jnp.uint8))
         in_specs.append(pl.BlockSpec((block_b, 1, 128),
                                      lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -128,12 +141,12 @@ def preprocess_crops_pallas(rgb_u8, flow_u8, flip, mean, std,
                                use_flow=use_flow, w=w)
     out = pl.pallas_call(
         kernel,
-        grid=(b // block_b,),
+        grid=(n // block_b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, h, w * channels),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w * channels), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, w * channels), out_dtype),
         interpret=interpret,
         # the f32 intermediates + the iota-built permutation matrices
         # overflow the default 16 MB scoped-vmem budget at large grids;
@@ -143,4 +156,4 @@ def preprocess_crops_pallas(rgb_u8, flow_u8, flip, mean, std,
             dimension_semantics=('parallel',),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*inputs)
-    return out.reshape(b, h, w, channels)
+    return out[:b].reshape(b, h, w, channels)

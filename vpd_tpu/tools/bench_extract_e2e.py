@@ -136,12 +136,15 @@ def main():
     use_native = native_loader.available()
     shard_reader = None
     pack_rate = None
+    if args.shard_codec != 'raw':
+        # validated up front so a run without --shards cannot silently
+        # measure the PNG path while its JSON row claims packed shards
+        assert args.shards, '--shard_codec requires --shards'
+        assert args.upload_codec == args.shard_codec, \
+            '--shard_codec {} requires --upload_codec {}'.format(
+                args.shard_codec, args.shard_codec)
     if args.shards:
         from ..data.shards import ShardReader, pack_crops
-        if args.shard_codec != 'raw':
-            assert args.upload_codec == args.shard_codec, \
-                '--shard_codec {} requires --upload_codec {}'.format(
-                    args.shard_codec, args.shard_codec)
         shard_dir = os.path.join(work, 'shards')
         t0 = time.perf_counter()
         pack_crops(corpus_dir, shard_dir, args.img_dim,

@@ -91,6 +91,19 @@ def main():
     xla_pre_sum = jax.jit(
         lambda rgb, flow, flip: xla_pre(rgb, flow, flip)
         .astype(jnp.float32).mean())
+
+    # one encoder for every batch size (the init program is batch-
+    # independent; re-running it per rung would re-pay a relay compile)
+    model = build_encoder('resnet34', emb_dim=32, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(1),
+                           jnp.zeros((1, s, s, 5), jnp.bfloat16))
+
+    def embed(pre, rgb, flow, flip):
+        x = pre(rgb, flow, flip)
+        return model.apply(variables, x, train=False)
+
+    emb_xla = jax.jit(partial(embed, xla_pre))
+
     results = []
     for b in (int(x) for x in args.batches.split(',')):
         keys = jax.random.split(jax.random.key(b), DEPTH)
@@ -115,15 +128,6 @@ def main():
         results.append(row)
 
         # (b) preprocess -> embed
-        model = build_encoder('resnet34', emb_dim=32, dtype=jnp.bfloat16)
-        variables = model.init(jax.random.key(1),
-                               jnp.zeros((1, s, s, 5), jnp.bfloat16))
-
-        def embed(pre, rgb, flow, flip):
-            x = pre(rgb, flow, flip)
-            return model.apply(variables, x, train=False)
-
-        emb_xla = jax.jit(partial(embed, xla_pre))
         emb_pal = jax.jit(partial(
             embed, lambda r, f, fl: preprocess_crops_pallas(
                 r, f, fl, mean, std, block_b=best_bb)))
